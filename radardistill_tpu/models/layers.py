@@ -1,0 +1,217 @@
+"""Shared NN building blocks (flax.linen, NHWC).
+
+Torch-compatibility notes (these pin the numerics contract to the reference):
+
+- ``Conv2dTorch`` uses explicit symmetric padding so strided convs window
+  exactly like ``nn.Conv2d(k=3, s=2, p=1)`` (XLA ``SAME`` pads asymmetrically
+  for even inputs — a silent off-by-one vs torch).
+- ``ConvTranspose2dTorch`` realises torch's deconv semantics
+  (out = (in-1)*s - 2p + k) via input-dilated convolution with a spatially
+  flipped kernel — exactly the transpose of the forward conv.
+- ``MaskedBatchNorm`` computes statistics over *active* elements only: the
+  TPU equivalent of the reference's BatchNorm1d over sparse active-site
+  feature lists (spconv_backbone_2d.py:119, dynamic_pillar_vfe.py:29).
+  Running stats follow torch convention: ``momentum`` here is the torch
+  momentum m (running = (1-m)*running + m*batch).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# Default eps/momentum pairs used by the reference:
+#   sparse backbone + neck BNs: eps=1e-3, momentum=0.01 (spconv_backbone_2d.py:119,244)
+#   head / CMA BNs: torch defaults eps=1e-5, momentum=0.1
+BN_EPS_BACKBONE, BN_MOM_BACKBONE = 1e-3, 0.01
+BN_EPS_DEFAULT, BN_MOM_DEFAULT = 1e-5, 0.1
+
+
+def kaiming_normal_torch(key, shape, dtype=jnp.float32):
+    """torch.nn.init.kaiming_normal_ (fan_in of the conv: in_ch*kh*kw) for
+    HWIO kernels."""
+    fan_in = shape[0] * shape[1] * shape[2] if len(shape) == 4 else shape[0]
+    std = (2.0 / fan_in) ** 0.5
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def conv_kernel_init_torch(key, shape, dtype=jnp.float32):
+    """torch Conv2d default init: kaiming_uniform(a=sqrt(5)) ==
+    uniform(-1/sqrt(fan_in), 1/sqrt(fan_in)) * sqrt(3)... torch uses
+    gain=sqrt(2/(1+5))=sqrt(1/3); bound = sqrt(3)*gain/sqrt(fan_in)
+    = 1/sqrt(fan_in)."""
+    fan_in = shape[0] * shape[1] * shape[2] if len(shape) == 4 else shape[0]
+    bound = 1.0 / (fan_in ** 0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class Conv2dTorch(nn.Module):
+    """NHWC conv with torch-style explicit padding. Kernel layout HWIO."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = False
+    groups: int = 1
+    kernel_init: Callable = conv_kernel_init_torch
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, p = self.kernel_size, self.padding
+        return nn.Conv(
+            self.features,
+            (k, k),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            use_bias=self.use_bias,
+            feature_group_count=self.groups,
+            kernel_init=self.kernel_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """torch ConvTranspose2d(k, s, p): out = (in-1)*s - 2p + k. NHWC."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = False
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", conv_kernel_init_torch, (k, k, in_ch, self.features)
+        )
+        # transpose conv == conv with lhs dilation s, padding k-1-p, flipped kernel
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype or x.dtype),
+            jnp.flip(kernel, (0, 1)).astype(self.dtype or kernel.dtype),
+            window_strides=(1, 1),
+            padding=((k - 1 - p, k - 1 - p), (k - 1 - p, k - 1 - p)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+class BatchNormTorch(nn.Module):
+    """flax BatchNorm with torch momentum convention + train/eval switch."""
+
+    eps: float = BN_EPS_DEFAULT
+    momentum: float = BN_MOM_DEFAULT  # torch momentum
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,
+            epsilon=self.eps,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose batch statistics are computed over masked elements only.
+
+    x: (..., C); mask: broadcastable to x[..., 0] — 1 for active elements.
+    This reproduces the reference's BN1d over the packed active-site feature
+    list: inactive (padded / empty-pillar) rows contribute nothing to the
+    statistics, and their (garbage) normalized values must be re-masked by
+    the caller.
+    """
+
+    eps: float = BN_EPS_BACKBONE
+    momentum: float = BN_MOM_BACKBONE
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+
+        if train:
+            m = mask.astype(jnp.float32)[..., None]
+            n = jnp.clip(jnp.sum(m), 1.0)
+            xf = x.astype(jnp.float32)
+            mean = jnp.sum(xf * m, axis=tuple(range(x.ndim - 1))) / n
+            var = jnp.sum(((xf - mean) ** 2) * m, axis=tuple(range(x.ndim - 1))) / n
+            if not self.is_initializing():
+                # torch updates running_var with the *unbiased* batch variance
+                unbiased = var * n / jnp.clip(n - 1.0, 1.0)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+class LayerNormTorch(nn.Module):
+    """Channels-last LayerNorm, eps 1e-6 (ConvNeXt; Basicblock_convn.py:58-76)."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.eps, name="ln")(x)
+
+
+class GRN(nn.Module):
+    """Global Response Normalization (ConvNeXt-v2; Basicblock_convn.py:84-95).
+
+    x: (B, H, W, C): Gx = ||x||_2 over (H, W); Nx = Gx / (mean_c Gx + eps);
+    out = gamma * x * Nx + beta + x. gamma/beta init 0.
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, c))
+        beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, c))
+        gx = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2), keepdims=True))
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        return (gamma * (x * nx.astype(x.dtype)) + beta + x).astype(x.dtype)
+
+
+def max_pool_mask(mask: jnp.ndarray, kernel: int = 3, stride: int = 2, padding: int = 1):
+    """Dilate an occupancy mask the way a strided SparseConv2d grows the
+    active set: output site active iff any input site in its kxk receptive
+    field is active. mask: (B, H, W) float/bool -> (B, H', W') same dtype."""
+    m = mask.astype(jnp.float32)[..., None]
+    y = jax.lax.reduce_window(
+        m,
+        -jnp.inf,
+        jax.lax.max,
+        (1, kernel, kernel, 1),
+        (1, stride, stride, 1),
+        ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+    return (y[..., 0] > 0).astype(mask.dtype)
+
+
+def clip_sigmoid(x, eps=1e-4):
+    """radar_distill_final.py:12-26 / center_head sigmoid clamp."""
+    return jnp.clip(jax.nn.sigmoid(x), eps, 1 - eps)

@@ -1,0 +1,160 @@
+"""Dynamic pillar VFE, static-shape TPU formulation.
+
+Reference behavior (pcdet/models/backbones_3d/vfe/dynamic_pillar_vfe.py):
+- DynamicPillarVFESimple2D (:146-252): per-point features
+  ``[f_center, raw(abs xyz + extra feats), f_cluster, f_relative]``, one
+  PFNLayerV2 (Linear→BN1d→ReLU→scatter_max per pillar) producing 32-ch pillar
+  features + sparse pillar coords.
+- Radar_DynamicPillarVFESimple2D (:255-313): same, reads ``radar_points``.
+- Radar_DynamicPillarVFESimple2D_Test (:315-373): reads ``points`` (radar-only
+  eval) but writes the radar keys.
+
+TPU re-design: points come in padded ``(B, N, 1+F)`` (feature 0 is unused
+here; the batch index column of the reference's ragged layout is replaced by
+the batch dim) with a validity mask. Pillar reduction goes straight into the
+dense BEV grid (ops/voxelize.py) — output is the dense ``(B, H, W, C)``
+feature map + occupancy mask, which is exactly what the masked-dense sparse
+backbone consumes. No unique/dedup, no sparse coords.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import voxelize
+from .layers import MaskedBatchNorm
+
+
+class PFNLayerV2(nn.Module):
+    """Linear→(masked)BN1d→ReLU→per-pillar max (dynamic_pillar_vfe.py:14-46).
+
+    Non-last layers halve out_channels and concat [x, max_gathered_back].
+    """
+
+    out_channels: int
+    use_norm: bool = True
+    last_layer: bool = False
+
+    @nn.compact
+    def __call__(self, feats, ids, point_mask, grid_size, train: bool):
+        out_ch = self.out_channels if self.last_layer else self.out_channels // 2
+        x = nn.Dense(out_ch, use_bias=not self.use_norm, name="linear")(feats)
+        if self.use_norm:
+            x = MaskedBatchNorm(name="norm")(x, point_mask, train)
+        x = nn.relu(x)
+        x = jnp.where(point_mask[..., None], x, 0.0)
+        # per-pillar max on the dense grid (torch_scatter.scatter_max equiv.)
+        bev = jax.vmap(lambda f, i: voxelize.scatter_max_bev(f, i, grid_size))(x, ids)
+        if self.last_layer:
+            return x, bev
+        x_max_back = jax.vmap(voxelize.gather_from_bev)(bev, ids)
+        return jnp.concatenate([x, x_max_back], axis=-1), None
+
+
+class DynamicPillarVFESimple2D(nn.Module):
+    """Pillar encoder producing a dense BEV grid.
+
+    Attributes mirror the reference config keys (VFE block of
+    radar_distill_train.yaml:70-84).
+    """
+
+    num_filters: Sequence[int]
+    voxel_size: Sequence[float]
+    point_cloud_range: Sequence[float]
+    grid_size: Tuple[int, int]  # (nx, ny)
+    use_norm: bool = True
+    with_distance: bool = False
+    use_absolute_xyz: bool = True
+    use_cluster_xyz: bool = True
+    use_relative_xyz: bool = True
+
+    def build_point_features(self, points, valid, ids):
+        """Assemble per-point feature vector (dynamic_pillar_vfe.py:214-237).
+
+        points: (B, N, F) rows [x, y, z, feat...]; valid: (B, N).
+        Order: f_center, absolute(x,y,z,extras) | extras, f_cluster, f_relative.
+        """
+        vx, vy, vz = self.voxel_size[:3]
+        x_off = vx / 2 + self.point_cloud_range[0]
+        y_off = vy / 2 + self.point_cloud_range[1]
+        z_off = vz / 2 + self.point_cloud_range[2]
+
+        xyz = points[..., 0:3]
+        nx = self.grid_size[0]
+        cx = ids % nx  # invalid ids -> sentinel row; masked later
+        cy = ids // nx
+        f_center = jnp.stack(
+            [
+                xyz[..., 0] - (cx.astype(xyz.dtype) * vx + x_off),
+                xyz[..., 1] - (cy.astype(xyz.dtype) * vy + y_off),
+                xyz[..., 2] - z_off,
+            ],
+            axis=-1,
+        )
+        feats = [f_center]
+        if self.use_absolute_xyz:
+            feats.append(points)
+        else:
+            feats.append(points[..., 3:])
+        if self.use_cluster_xyz:
+            mean = jax.vmap(lambda p, i: voxelize.pillar_mean_per_point(p, i, self.grid_size))(
+                xyz, ids
+            )
+            feats.append(xyz - mean)
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+        if self.use_relative_xyz:
+            pc0 = jnp.asarray(self.point_cloud_range[:3], xyz.dtype)
+            feats.append(xyz - pc0)
+        out = jnp.concatenate(feats, axis=-1)
+        return jnp.where(valid[..., None], out, 0.0)
+
+    @nn.compact
+    def __call__(self, points, point_mask, train: bool):
+        """points: (B, N, F) [x,y,z,...]; point_mask: (B, N) bool.
+
+        Returns (bev_features (B, H, W, C), pillar_mask (B, H, W) bool).
+        """
+        coords, in_range = voxelize.compute_pillar_coords(
+            points[..., :2], self.point_cloud_range, self.voxel_size, self.grid_size
+        )
+        valid = point_mask & in_range
+        ids = voxelize.pillar_ids(coords, valid, self.grid_size)
+
+        feats = self.build_point_features(points, valid, ids)
+
+        bev = None
+        n_layers = len(self.num_filters)
+        for i, out_ch in enumerate(self.num_filters):
+            feats, bev = PFNLayerV2(
+                out_channels=out_ch,
+                use_norm=self.use_norm,
+                last_layer=(i >= n_layers - 1),
+                name=f"pfn_{i}",
+            )(feats, ids, valid, self.grid_size, train)
+
+        cnt = jax.vmap(lambda i: voxelize.pillar_count(i, self.grid_size))(ids)
+        pillar_mask = cnt > 0
+        return bev, pillar_mask
+
+    @property
+    def output_dim(self):
+        return self.num_filters[-1]
+
+
+def vfe_input_dim(num_raw_features: int, cfg) -> int:
+    """Channel count fed to the first PFN linear, matching
+    dynamic_pillar_vfe.py:150-163."""
+    n = 3  # f_center
+    n += num_raw_features if cfg.get("USE_ABSLOTE_XYZ", True) else num_raw_features - 3
+    if cfg.get("USE_CLUSTER_XYZ", True):
+        n += 3
+    if cfg.get("WITH_DISTANCE", False):
+        n += 1
+    if cfg.get("USE_RELATIVE_XYZ", True):
+        n += 3
+    return n

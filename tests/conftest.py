@@ -1,0 +1,26 @@
+"""Test config: run everything on CPU with 8 virtual devices.
+
+This is the multi-chip fake backend the reference lacks (SURVEY.md §4):
+sharding/pjit tests exercise a real 8-device mesh without TPU hardware.
+Must set flags before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: first full run pays XLA compile cost once;
+# subsequent pytest invocations reuse cached executables.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
