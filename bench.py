@@ -1,0 +1,90 @@
+"""Headline bench: full RadarDistill distillation train step throughput on
+one chip (teacher fwd + student fwd + CMA/AFD/PFD + head losses + AdamW),
+full 1440² nuScenes grid.
+
+Baseline context (BASELINE.md): the reference publishes no throughput. A
+PillarNet-scale OpenPCDet distill step at batch 8 runs ~1 it/s on an A100
+(~8 samples/s/chip); the driver target is >=2x A100/chip => 16 samples/s.
+vs_baseline reported against that 16 samples/s target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+
+import numpy as np  # noqa: E402
+
+
+A100_X2_TARGET = 16.0  # samples/s/chip
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from radardistill_tpu.config import ConfigDict
+    from radardistill_tpu.data.collate import collate_batch
+    from radardistill_tpu.data.synthetic import make_scene
+    from radardistill_tpu.models import build_network
+    from radardistill_tpu.train.optim import build_optimizer
+    from radardistill_tpu.train.train_step import create_train_state, make_train_step
+    from radardistill_tpu.utils.testing import CLASS_NAMES, make_model_cfg
+
+    grid = int(os.environ.get("BENCH_GRID", 1440))
+    batch_size = int(os.environ.get("BENCH_BS", 2))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+
+    cfg, info = make_model_cfg(grid=grid, teacher=True, radar=True, distill=True)
+    model = build_network(cfg, info, compute_dtype=jnp.bfloat16)
+
+    caps = {
+        "MAX_LIDAR_POINTS": int(os.environ.get("BENCH_LIDAR_PTS", 160_000)),
+        "MAX_RADAR_POINTS": 4096,
+        "NUM_MAX_OBJS": 500,
+    }
+    samples = [
+        make_scene(i, num_lidar=caps["MAX_LIDAR_POINTS"], num_radar=3000,
+                   num_boxes=60, pc_range=info["point_cloud_range"])
+        for i in range(batch_size)
+    ]
+    b = collate_batch(samples, caps)
+    b.pop("_host", None)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+
+    optim_cfg = ConfigDict(
+        OPTIMIZER="adam_onecycle", LR=1e-3, WEIGHT_DECAY=0.01,
+        MOMS=[0.95, 0.85], PCT_START=0.4, DIV_FACTOR=10, GRAD_NORM_CLIP=10,
+    )
+    tx, _ = build_optimizer(optim_cfg, None, total_steps=1000)
+    state = create_train_state(model, tx, batch)
+    step = jax.jit(
+        make_train_step(model, tx, cfg, CLASS_NAMES, info["voxel_size"],
+                        info["point_cloud_range"]),
+        donate_argnums=(0,),
+    )
+
+    state, m = step(state, batch)  # compile + 1 step
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    sps = batch_size * steps / dt
+    print(json.dumps({
+        "metric": "distill_train_samples_per_sec_per_chip",
+        "value": round(sps, 3),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / A100_X2_TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

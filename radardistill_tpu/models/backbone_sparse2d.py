@@ -1,0 +1,174 @@
+"""PillarNet sparse 2D ResNet-18 BEV encoder — masked-dense TPU formulation.
+
+Reference (pcdet/models/backbones_3d/spconv_backbone_2d.py:208-324
+``PillarRes18BackBone8x`` + :41-77 ``SparseBasicBlock``, built on spconv
+SubMConv2d / SparseConv2d):
+
+    conv1: 2x SparseBasicBlock(32)                 stride 1   (1440²)
+    conv2: SparseConv2d(32→64,s2) + 2x block(64)   stride 2   (720²)
+    conv3: SparseConv2d(64→128,s2) + 2x block(128) stride 4   (360²)
+    conv4: SparseConv2d(128→256,s2)+ 2x block(256) stride 8   (180²)
+    .dense() → conv5: dense Conv(256,s2)+BN+ReLU + 2x dense BasicBlock  (90²)
+
+TPU re-design — exact sparse semantics on dense tensors:
+- submanifold conv == dense conv x occupancy mask (inactive inputs are 0, and
+  output sites == input sites), so ``y = relu(bn(conv(x))) * mask``;
+- strided SparseConv2d grows the active set to every output site whose 3x3
+  receptive field touches an active input — ``mask' = maxpool(mask, 3, s2)``;
+- BN statistics are computed over active sites only (MaskedBatchNorm), which
+  is what spconv's BatchNorm1d over the packed feature list does;
+- ``.dense()`` is the identity here (we are already dense), so conv5 runs
+  plain dense convs with ordinary (unmasked) BN, matching the reference.
+
+All convs are MXU-shaped NHWC; the whole stack is jit/remat friendly. The
+radar twin (spconv_backbone_2d_distillation.py:6-96) is the same module
+applied to the radar BEV stream — twinning happens at the detector level via
+separate parameter scopes, not duplicated code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import (
+    BN_EPS_BACKBONE,
+    BN_MOM_BACKBONE,
+    BatchNormTorch,
+    Conv2dTorch,
+    MaskedBatchNorm,
+    max_pool_mask,
+)
+
+
+class SubMConvBlock(nn.Module):
+    """SubMConv2d + BN1d + ReLU (post_act_block 'subm', spconv_backbone_2d.py:9-28)."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, mask, train):
+        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=False, dtype=self.dtype, name="conv")(x)
+        y = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn")(
+            y, mask, train
+        )
+        y = nn.relu(y)
+        return y * mask[..., None].astype(y.dtype)
+
+
+class SparseDownBlock(nn.Module):
+    """Strided SparseConv2d + BN1d + ReLU (post_act_block 'spconv').
+
+    Returns (features, dilated mask)."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, mask, train):
+        new_mask = max_pool_mask(mask, 3, 2, 1)
+        y = Conv2dTorch(self.features, 3, 2, 1, use_bias=False, dtype=self.dtype, name="conv")(x)
+        y = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn")(
+            y, new_mask, train
+        )
+        y = nn.relu(y)
+        return y * new_mask[..., None].astype(y.dtype), new_mask
+
+
+class SparseBasicBlock(nn.Module):
+    """Residual submanifold block (spconv_backbone_2d.py:41-77).
+
+    conv/bn/relu -> conv/bn -> +identity -> relu, all on the same active set.
+    The reference's SubMConv2d here has bias=True (bias passed `norm_fn is
+    not None` — a quirk kept for weight-compat)."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, mask, train):
+        m = mask[..., None].astype(x.dtype)
+        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, name="conv1")(x)
+        y = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn1")(
+            y, mask, train
+        )
+        y = nn.relu(y) * m
+        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, name="conv2")(y)
+        y = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn2")(
+            y, mask, train
+        )
+        return nn.relu(y + x) * m
+
+
+class DenseBasicBlock(nn.Module):
+    """Dense residual block for conv5 (spconv_backbone_2d.py:80-112)."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train):
+        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, name="conv1")(x)
+        y = BatchNormTorch(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn1")(y, train)
+        y = nn.relu(y)
+        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, name="conv2")(y)
+        y = BatchNormTorch(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn2")(y, train)
+        return nn.relu(y + x)
+
+
+class PillarRes18BackBone8x(nn.Module):
+    """Masked-dense twin-capable sparse encoder.
+
+    Input: (B, H, W, 32) dense BEV + (B, H, W) occupancy mask from the VFE.
+    Output dict mirrors the reference's ``multi_scale_2d_features``
+    (x_conv1..x_conv5 at strides 1,2,4,8,16; x_conv4/x_conv5 dense).
+    """
+
+    dtype: Any = None
+    channels = (32, 64, 128, 256, 256)
+
+    @nn.compact
+    def __call__(self, bev, mask, train: bool) -> Dict[str, jnp.ndarray]:
+        x = bev * mask[..., None].astype(bev.dtype)
+
+        # conv1: two residual blocks at stride 1
+        x = SparseBasicBlock(32, self.dtype, name="conv1_0")(x, mask, train)
+        x1 = SparseBasicBlock(32, self.dtype, name="conv1_1")(x, mask, train)
+
+        # conv2: down + 2 blocks
+        x, mask2 = SparseDownBlock(64, self.dtype, name="conv2_down")(x1, mask, train)
+        x = SparseBasicBlock(64, self.dtype, name="conv2_0")(x, mask2, train)
+        x2 = SparseBasicBlock(64, self.dtype, name="conv2_1")(x, mask2, train)
+
+        # conv3
+        x, mask3 = SparseDownBlock(128, self.dtype, name="conv3_down")(x2, mask2, train)
+        x = SparseBasicBlock(128, self.dtype, name="conv3_0")(x, mask3, train)
+        x3 = SparseBasicBlock(128, self.dtype, name="conv3_1")(x, mask3, train)
+
+        # conv4
+        x, mask4 = SparseDownBlock(256, self.dtype, name="conv4_down")(x3, mask3, train)
+        x = SparseBasicBlock(256, self.dtype, name="conv4_0")(x, mask4, train)
+        x4 = SparseBasicBlock(256, self.dtype, name="conv4_1")(x, mask4, train)
+        # `.dense()` (spconv_backbone_2d.py:299) is the identity here.
+
+        # conv5: dense stride-2 stage
+        x = Conv2dTorch(256, 3, 2, 1, use_bias=False, dtype=self.dtype, name="conv5_down_conv")(x4)
+        x = BatchNormTorch(BN_EPS_BACKBONE, BN_MOM_BACKBONE, dtype=self.dtype, name="conv5_down_bn")(x, train)
+        x = nn.relu(x)
+        x = DenseBasicBlock(256, self.dtype, name="conv5_0")(x, train)
+        x5 = DenseBasicBlock(256, self.dtype, name="conv5_1")(x, train)
+
+        return {
+            "x_conv1": x1,
+            "x_conv2": x2,
+            "x_conv3": x3,
+            "x_conv4": x4,
+            "x_conv5": x5,
+            "mask1": mask,
+            "mask2": mask2,
+            "mask3": mask3,
+            "mask4": mask4,
+        }

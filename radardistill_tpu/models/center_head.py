@@ -1,0 +1,532 @@
+"""CenterPoint multi-task head — stacked-heads TPU formulation.
+
+Reference: pcdet/models/dense_heads/center_head.py (CenterHead/SeparateHead,
+:11-424) and radar_center_head.py (:12-441, identical math on the radar BEV).
+
+Reference structure: shared 3x3 conv (256→64) + 6 per-task `SeparateHead`s,
+each with 7 subheads {hm, center, center_z, dim, rot, vel, iou} of 2 convs.
+That is 84 tiny convolutions per forward — poison for the MXU.
+
+TPU re-design — **stacked heads**: the 6 task heads are one parameter stack.
+For each subhead type we run ONE grouped conv (`feature_group_count = 6`)
+over the shared feature replicated on the channel axis: (B, H, W, 6·64) →
+(B, H, W, 6·C_out). Per-channel BN is numerically identical to 6 separate
+BNs. The `hm` subhead (1 or 2 classes per task) is padded to the max class
+count with a static validity mask. 84 convs → 14 MXU-friendly ones, one
+fused graph.
+
+Target assignment is the reference's per-box CPU gaussian loop
+(center_head.py:111-235) vectorized on-device: chunked gaussian stamping with
+max-reduction over NUM_MAX_OBJS box slots — no host round-trip inside the
+train step.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops import geometry, nms
+from .layers import BatchNormTorch, Conv2dTorch, clip_sigmoid, kaiming_normal_torch
+
+# subhead output channels per task (HEAD_DICT of radar_distill_train.yaml:131-138)
+REG_HEADS = (("center", 2), ("center_z", 1), ("dim", 3), ("rot", 2), ("vel", 2), ("iou", 1))
+
+
+class HeadSpec:
+    """Static task-head layout derived from CLASS_NAMES_EACH_HEAD."""
+
+    def __init__(self, class_names_each_head: Sequence[Sequence[str]], class_names: Sequence[str]):
+        self.class_names = list(class_names)
+        self.heads = [[c for c in group if c in class_names] for group in class_names_each_head]
+        self.num_heads = len(self.heads)
+        self.max_cls = max(len(h) for h in self.heads)
+        # global 1-based class id for each (head, slot); 0 = padded slot
+        ids = np.zeros((self.num_heads, self.max_cls), np.int32)
+        valid = np.zeros((self.num_heads, self.max_cls), bool)
+        for i, group in enumerate(self.heads):
+            for j, name in enumerate(group):
+                ids[i, j] = self.class_names.index(name) + 1
+                valid[i, j] = True
+        self.class_ids = ids          # (n_heads, max_cls) global 1-based
+        self.class_valid = valid      # (n_heads, max_cls)
+        self.total_classes = sum(len(h) for h in self.heads)
+
+
+class StackedSubHead(nn.Module):
+    """One subhead type across all task heads: grouped [conv3+BN+ReLU]ⁿ⁻¹ + conv3.
+
+    Matches SeparateHead's per-head stack (center_head.py:20-38): hidden convs
+    use bias=USE_BIAS_BEFORE_NORM, final conv bias=True; non-hm convs get
+    kaiming-normal init and zero bias; the hm final bias is init_bias=-2.19.
+    """
+
+    num_heads: int
+    out_channels: int
+    num_conv: int = 2
+    use_bias: bool = True
+    init_bias: float | None = None  # set for 'hm'
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train):
+        # x: (B, H, W, num_heads*C_shared)
+        # non-hm subheads get torch kaiming_normal_ init, hm keeps conv
+        # defaults (center_head.py:29-36)
+        from .layers import conv_kernel_init_torch
+
+        kinit = conv_kernel_init_torch if self.init_bias is not None else kaiming_normal_torch
+        for k in range(self.num_conv - 1):
+            ch = x.shape[-1]
+            x = Conv2dTorch(
+                ch, 3, 1, 1, use_bias=self.use_bias, groups=self.num_heads,
+                kernel_init=kinit, dtype=self.dtype, name=f"conv_{k}",
+            )(x)
+            x = BatchNormTorch(dtype=self.dtype, name=f"bn_{k}")(x, train)
+            x = nn.relu(x)
+
+        def final_bias_init(key, shape, dtype=jnp.float32):
+            if self.init_bias is not None:
+                return jnp.full(shape, self.init_bias, dtype)
+            return jnp.zeros(shape, dtype)
+
+        y = nn.Conv(
+            self.num_heads * self.out_channels,
+            (3, 3),
+            padding=((1, 1), (1, 1)),
+            use_bias=True,
+            feature_group_count=self.num_heads,
+            kernel_init=kinit,
+            bias_init=final_bias_init,
+            dtype=self.dtype,
+            name="conv_out",
+        )(x)
+        b, h, w, _ = y.shape
+        return y.reshape(b, h, w, self.num_heads, self.out_channels)
+
+
+class CenterHead(nn.Module):
+    """Shared conv + stacked subheads. Returns dict of (B,H,W,n_heads,C) preds."""
+
+    spec: HeadSpec
+    shared_channels: int = 64
+    num_hm_conv: int = 2
+    use_bias_before_norm: bool = True
+    with_iou: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, spatial_features_2d, train: bool) -> Dict[str, jnp.ndarray]:
+        x = Conv2dTorch(
+            self.shared_channels, 3, 1, 1, use_bias=self.use_bias_before_norm,
+            dtype=self.dtype, name="shared_conv",
+        )(spatial_features_2d)
+        x = BatchNormTorch(dtype=self.dtype, name="shared_bn")(x, train)
+        x = nn.relu(x)
+
+        n = self.spec.num_heads
+        x_rep = jnp.tile(x, (1, 1, 1, n))  # replicate for the n head groups
+
+        preds = {}
+        for name, out_ch in REG_HEADS:
+            if name == "iou" and not self.with_iou:
+                continue
+            preds[name] = StackedSubHead(
+                n, out_ch, 2, self.use_bias_before_norm, dtype=self.dtype, name=name
+            )(x_rep, train)
+        preds["hm"] = StackedSubHead(
+            n, self.spec.max_cls, self.num_hm_conv, self.use_bias_before_norm,
+            init_bias=-2.19, dtype=self.dtype, name="hm",
+        )(x_rep, train)
+        return preds
+
+
+# ---------------------------------------------------------------------------
+# Target assignment (vectorized gaussian stamping)
+# ---------------------------------------------------------------------------
+
+
+def _stamp_heatmap(centers_int, radii, local_cls, valid, hw, max_cls, chunk=50):
+    """Max-compose per-box gaussians into (max_cls, H, W).
+
+    centers_int: (M, 2) int [x, y]; radii: (M,) int; local_cls: (M,) in
+    [0, max_cls); valid: (M,) bool. Gaussian value at pixel p:
+    exp(-(|p - c|²)/(2σ²)), σ=(2r+1)/6, support |Δ|<=r (chebyshev), centered
+    at the INTEGER center (centernet_utils.py:38-69 semantics).
+    """
+    H, W = hw
+    M = centers_int.shape[0]
+    pad = (-M) % chunk
+    if pad:
+        centers_int = jnp.pad(centers_int, ((0, pad), (0, 0)))
+        radii = jnp.pad(radii, (0, pad))
+        local_cls = jnp.pad(local_cls, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    n_chunks = (M + pad) // chunk
+
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+
+    def body(hm, sl):
+        c, r, lc, v = sl
+        dx = xs[None] - c[:, 0, None, None]  # (chunk, H, W)
+        dy = ys[None] - c[:, 1, None, None]
+        sigma = (2 * r.astype(jnp.float32) + 1) / 6.0
+        g = jnp.exp(-(dx * dx + dy * dy) / (2 * sigma * sigma)[:, None, None])
+        support = (jnp.abs(dx) <= r[:, None, None]) & (jnp.abs(dy) <= r[:, None, None])
+        g = jnp.where(support & v[:, None, None], g, 0.0)
+        onehot = jax.nn.one_hot(lc, max_cls, dtype=g.dtype)  # (chunk, C)
+        contrib = jnp.max(g[:, None] * onehot[:, :, None, None], axis=0)  # (C, H, W)
+        return jnp.maximum(hm, contrib), None
+
+    slices = (
+        centers_int.reshape(n_chunks, chunk, 2),
+        radii.reshape(n_chunks, chunk),
+        local_cls.reshape(n_chunks, chunk),
+        valid.reshape(n_chunks, chunk),
+    )
+    hm0 = jnp.zeros((max_cls, H, W), jnp.float32)
+    hm, _ = jax.lax.scan(body, hm0, slices)
+    return hm
+
+
+def assign_targets(
+    gt_boxes: jnp.ndarray,
+    spec: HeadSpec,
+    feature_map_hw: Tuple[int, int],
+    feature_map_stride: int,
+    voxel_size,
+    point_cloud_range,
+    num_max_objs: int = 500,
+    gaussian_overlap: float = 0.1,
+    min_radius: int = 2,
+):
+    """Vectorized CenterHead target assignment (center_head.py:111-235).
+
+    gt_boxes: (B, M, D) pcdet layout [x,y,z,dx,dy,dz,heading,(vx,vy),cls],
+    cls global 1-based, 0-padded rows. Returns a dict of stacked targets:
+      heatmaps   (B, n_heads, H, W, max_cls)
+      target_boxes (B, n_heads, M, D)   # [Δx, Δy, z, log dims, cos, sin, extras]
+      inds, masks (B, n_heads, M)
+      gt_box7    (B, n_heads, M, 7)
+    Box slots keep their original positions (reference compacts per head;
+    all downstream reductions are slot-permutation-invariant).
+    """
+    H, W = feature_map_hw
+    vx, vy = float(voxel_size[0]), float(voxel_size[1])
+    x0, y0 = float(point_cloud_range[0]), float(point_cloud_range[1])
+    D = gt_boxes.shape[-1]
+
+    def per_sample(boxes):
+        cls = boxes[:, -1].astype(jnp.int32)
+        coord_x = jnp.clip((boxes[:, 0] - x0) / vx / feature_map_stride, 0, W - 0.5)
+        coord_y = jnp.clip((boxes[:, 1] - y0) / vy / feature_map_stride, 0, H - 0.5)
+        cint_x = coord_x.astype(jnp.int32)
+        cint_y = coord_y.astype(jnp.int32)
+        dxf = boxes[:, 3] / vx / feature_map_stride
+        dyf = boxes[:, 4] / vy / feature_map_stride
+        radius = geometry.gaussian_radius(dxf, dyf, gaussian_overlap)
+        radius = jnp.maximum(radius.astype(jnp.int32), min_radius)
+        ok_size = (dxf > 0) & (dyf > 0) & (cls > 0)
+
+        # regression targets (slot-aligned, head-independent)
+        ret = jnp.zeros((boxes.shape[0], D), boxes.dtype)
+        ret = ret.at[:, 0].set(coord_x - cint_x)
+        ret = ret.at[:, 1].set(coord_y - cint_y)
+        ret = ret.at[:, 2].set(boxes[:, 2])
+        ret = ret.at[:, 3:6].set(jnp.log(jnp.clip(boxes[:, 3:6], 1e-6)))
+        ret = ret.at[:, 6].set(jnp.cos(boxes[:, 6]))
+        ret = ret.at[:, 7].set(jnp.sin(boxes[:, 6]))
+        if D > 8:
+            ret = ret.at[:, 8:].set(boxes[:, 7:-1])
+        inds = cint_y * W + cint_x
+
+        hms, tboxes, indses, maskses, gt7s = [], [], [], [], []
+        for h in range(spec.num_heads):
+            ids = jnp.asarray(spec.class_ids[h])  # (max_cls,)
+            match = cls[:, None] == ids[None, :]  # (M, max_cls)
+            in_head = jnp.any(match & jnp.asarray(spec.class_valid[h])[None], axis=1)
+            local = jnp.argmax(match, axis=1)
+            sel = in_head & ok_size
+            hm = _stamp_heatmap(
+                jnp.stack([cint_x, cint_y], -1), radius, local, sel, (H, W), spec.max_cls
+            )
+            hms.append(jnp.transpose(hm, (1, 2, 0)))  # (H, W, max_cls)
+            m = sel.astype(jnp.int32)
+            tboxes.append(ret * m[:, None])
+            indses.append(inds * m)
+            maskses.append(m)
+            gt7s.append(boxes[:, :7] * m[:, None].astype(boxes.dtype))
+        return (
+            jnp.stack(hms), jnp.stack(tboxes), jnp.stack(indses),
+            jnp.stack(maskses), jnp.stack(gt7s),
+        )
+
+    heat, tb, inds, masks, gt7 = jax.vmap(per_sample)(gt_boxes)
+    return {
+        "heatmaps": heat,       # (B, n_heads, H, W, max_cls)
+        "target_boxes": tb,     # (B, n_heads, M, D)
+        "inds": inds,           # (B, n_heads, M)
+        "masks": masks,         # (B, n_heads, M)
+        "gt_box7": gt7,         # (B, n_heads, M, 7)
+    }
+
+
+def flatten_class_channels(spec: HeadSpec, stacked_hwHC: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, n_heads, max_cls) -> (B, H, W, total_classes), dropping the
+    padded class slots. Channel order = global class order (heads enumerate
+    CLASS_NAMES in order). Used to build the concatenated heatmap tensors the
+    PFD loss consumes (radar_distill_final.py:114-120)."""
+    chans = []
+    for h in range(spec.num_heads):
+        for j in range(len(spec.heads[h])):
+            chans.append(stacked_hwHC[..., h, j])
+    return jnp.stack(chans, axis=-1)
+
+
+def flatten_target_heatmaps(spec: HeadSpec, heatmaps_BnHWC: jnp.ndarray) -> jnp.ndarray:
+    """(B, n_heads, H, W, max_cls) -> (B, H, W, total_classes)."""
+    chans = []
+    for h in range(spec.num_heads):
+        for j in range(len(spec.heads[h])):
+            chans.append(heatmaps_BnHWC[:, h, :, :, j])
+    return jnp.stack(chans, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Losses (center_head.py:241-311, loss_utils.py:266-311, 347-376, 651-703)
+# ---------------------------------------------------------------------------
+
+
+def focal_loss_cornernet(pred, gt):
+    """CornerNet focal loss; pred already clip-sigmoided (loss_utils.py:266-301)."""
+    pos = (gt == 1.0).astype(jnp.float32)
+    neg = (gt < 1.0).astype(jnp.float32)
+    neg_w = jnp.power(1 - gt, 4)
+    pos_loss = jnp.log(pred) * jnp.power(1 - pred, 2) * pos
+    neg_loss = jnp.log(1 - pred) * jnp.power(pred, 2) * neg_w * neg
+    num_pos = jnp.sum(pos)
+    pos_l = jnp.sum(pos_loss)
+    neg_l = jnp.sum(neg_loss)
+    return jnp.where(num_pos == 0, -neg_l, -(pos_l + neg_l) / jnp.clip(num_pos, 1.0))
+
+
+def gather_at_inds(feat_hw_c, inds):
+    """(H*W, C) gather at (M,) flat spatial inds (loss_utils._transpose_and_gather_feat)."""
+    return feat_hw_c[inds]
+
+
+def reg_l1_loss(pred, target, mask):
+    """Per-code-dim L1 over masked object slots (loss_utils.py:347-376).
+
+    pred/target: (B, M, D); mask: (B, M). Returns (D,) per-dim losses
+    normalized by clamp(num_pos, 1)."""
+    num = jnp.sum(mask.astype(jnp.float32))
+    m = mask.astype(jnp.float32)[..., None]
+    diff = jnp.abs(pred * m - target * m)
+    return jnp.sum(diff, axis=(0, 1)) / jnp.clip(num, 1.0)
+
+
+def decode_boxes_full_map(preds_h, hw, feature_map_stride, voxel_size, point_cloud_range):
+    """Decode a (H,W)-dense box map for one head's predictions
+    (center_head.py:268-295). preds_h: dict of (B,H,W,C) slices for one head.
+    Returns (B, H*W, 7) [x,y,z,dx,dy,dz,rot]."""
+    H, W = hw
+    dim = jnp.exp(jnp.clip(preds_h["dim"].astype(jnp.float32), -5, 5))
+    rot = jnp.arctan2(preds_h["rot"][..., 1:2].astype(jnp.float32),
+                      preds_h["rot"][..., 0:1].astype(jnp.float32))
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    cx = xs[None, ..., None] + preds_h["center"][..., 0:1].astype(jnp.float32)
+    cy = ys[None, ..., None] + preds_h["center"][..., 1:2].astype(jnp.float32)
+    # note: reference casts pc_range to int here (center_head.py:292-293)
+    cx = cx * feature_map_stride * float(voxel_size[0]) + int(point_cloud_range[0])
+    cy = cy * feature_map_stride * float(voxel_size[1]) + int(point_cloud_range[1])
+    boxes = jnp.concatenate(
+        [cx, cy, preds_h["center_z"].astype(jnp.float32), dim, rot], axis=-1
+    )
+    b = boxes.shape[0]
+    return boxes.reshape(b, H * W, 7)
+
+
+def centerhead_loss(
+    preds: Dict[str, jnp.ndarray],
+    targets: Dict[str, jnp.ndarray],
+    spec: HeadSpec,
+    code_weights: Sequence[float],
+    cls_weight: float,
+    loc_weight: float,
+    hw: Tuple[int, int],
+    feature_map_stride: int,
+    voxel_size,
+    point_cloud_range,
+    with_iou: bool = True,
+    iou_reg: bool = True,
+):
+    """Full CenterHead loss (center_head.py:241-311), summed over task heads."""
+    H, W = hw
+    total = 0.0
+    tb = {}
+    cw = jnp.asarray(code_weights, jnp.float32)
+    cls_valid = jnp.asarray(spec.class_valid)  # (n_heads, max_cls)
+
+    for h in range(spec.num_heads):
+        hm_pred = clip_sigmoid(preds["hm"][..., h, :].astype(jnp.float32))
+        hm_tgt = targets["heatmaps"][:, h]
+        # padded class channels: force pred=eps-target=0 contribution to 0 via mask
+        vmask = cls_valid[h][None, None, None, :]
+        hm_pred = jnp.where(vmask, hm_pred, 1e-4)
+        hm_tgt = jnp.where(vmask, hm_tgt, 0.0)
+        # (with pred=1e-4, neg loss on padded channels ~ -log(1-1e-4)*1e-8 ≈ 0)
+        hm_loss = focal_loss_cornernet(hm_pred, hm_tgt) * cls_weight
+
+        # regression: cat HEAD_ORDER minus iou (dropped when with_iou&iou_reg,
+        # center_head.py:254-256)
+        reg_parts = [preds[k][..., h, :] for k in ("center", "center_z", "dim", "rot", "vel")]
+        reg_map = jnp.concatenate(reg_parts, axis=-1).astype(jnp.float32)  # (B,H,W,10)
+        b = reg_map.shape[0]
+        reg_flat = reg_map.reshape(b, H * W, -1)
+        inds = targets["inds"][:, h]
+        pred_at = jax.vmap(gather_at_inds)(reg_flat, inds)  # (B, M, 10)
+        reg_loss = reg_l1_loss(pred_at, targets["target_boxes"][:, h, :, : reg_map.shape[-1]],
+                               targets["masks"][:, h])
+        loc_loss = jnp.sum(reg_loss * cw) * loc_weight
+
+        total = total + hm_loss + loc_loss
+        tb[f"hm_loss_head_{h}"] = hm_loss
+        tb[f"loc_loss_head_{h}"] = loc_loss
+
+        if with_iou or iou_reg:
+            preds_h = {k: preds[k][..., h, :] for k in ("center", "center_z", "dim", "rot")}
+            box_map = decode_boxes_full_map(
+                preds_h, hw, feature_map_stride, voxel_size, point_cloud_range
+            )  # (B, HW, 7)
+            box_at = jax.vmap(gather_at_inds)(box_map, inds)  # (B, M, 7)
+            mask = targets["masks"][:, h].astype(jnp.float32)
+            gt7 = targets["gt_box7"][:, h]
+            nmask = jnp.sum(mask)
+
+            if with_iou:
+                iou_pred_at = jax.vmap(gather_at_inds)(
+                    preds["iou"][..., h, :].astype(jnp.float32).reshape(b, H * W, 1), inds
+                )[..., 0]
+                # IouLoss (loss_utils.py:651-676): target = 2*IoU3D - 1, stop-grad boxes
+                iou_tgt = geometry.boxes_aligned_iou3d(
+                    jax.lax.stop_gradient(box_at.reshape(-1, 7)), gt7.reshape(-1, 7)
+                ).reshape(b, -1)
+                iou_tgt = 2.0 * iou_tgt - 1.0
+                iou_loss = jnp.sum(jnp.abs(iou_pred_at - iou_tgt) * mask) / (nmask + 1e-4)
+                iou_loss = jnp.where(nmask == 0, 0.0, iou_loss)
+                total = total + iou_loss
+                tb[f"iou_loss_head_{h}"] = iou_loss
+
+            if iou_reg:
+                # IouRegLoss DIoU (loss_utils.py:677-703)
+                diou = geometry.bbox3d_overlaps_diou(
+                    box_at.reshape(-1, 7), gt7.reshape(-1, 7)
+                ).reshape(b, -1)
+                iou_reg_loss = jnp.sum((1.0 - diou) * mask) / (nmask + 1e-4)
+                iou_reg_loss = jnp.where(nmask == 0, 0.0, iou_reg_loss)
+                total = total + loc_weight * iou_reg_loss
+                tb[f"iou_reg_loss_head_{h}"] = iou_reg_loss
+
+    tb["rpn_loss"] = total
+    return total, tb
+
+
+# ---------------------------------------------------------------------------
+# Decode + NMS (center_head.py:313-370, centernet_utils.py:243-309)
+# ---------------------------------------------------------------------------
+
+
+def decode_and_nms(
+    preds: Dict[str, jnp.ndarray],
+    spec: HeadSpec,
+    hw: Tuple[int, int],
+    feature_map_stride: int,
+    voxel_size,
+    point_cloud_range,
+    post_center_limit_range,
+    k_per_head: int = 500,
+    score_thresh: float = 0.1,
+    rectifier: float = 0.5,
+    nms_thresh: float = 0.2,
+    nms_pre: int = 1000,
+    nms_post: int = 83,
+    with_iou: bool = True,
+    with_vel: bool = True,
+):
+    """Batched decode + per-head class-agnostic NMS with fixed-shape outputs.
+
+    Returns dict with 'boxes' (B, n_heads*post, 9), 'scores', 'labels'
+    (1-based global), 'valid'. Box layout [x,y,z,dx,dy,dz,rot,vx,vy].
+    """
+    H, W = hw
+    n_heads = spec.num_heads
+    B = preds["hm"].shape[0]
+    pclr = jnp.asarray(post_center_limit_range, jnp.float32)
+    box_dim = 9 if with_vel else 7
+
+    all_boxes, all_scores, all_labels, all_valid = [], [], [], []
+    for h in range(n_heads):
+        hm = jax.nn.sigmoid(preds["hm"][..., h, :].astype(jnp.float32))  # (B,H,W,maxC)
+        hm = jnp.where(jnp.asarray(spec.class_valid[h])[None, None, None, :], hm, -1.0)
+        # global top-k over (class, y, x) — equivalent to the reference's
+        # two-stage _topk (centernet_utils.py:155-170)
+        hm_flat = jnp.transpose(hm, (0, 3, 1, 2)).reshape(B, -1)  # (B, C*H*W)
+        scores, inds = jax.lax.top_k(hm_flat, k_per_head)
+        cls_local = inds // (H * W)
+        spatial = inds % (H * W)
+        ys = (spatial // W).astype(jnp.float32)
+        xs = (spatial % W).astype(jnp.float32)
+
+        def g(key, ch):
+            flat = preds[key][..., h, :].astype(jnp.float32).reshape(B, H * W, ch)
+            return jax.vmap(gather_at_inds)(flat, spatial)
+
+        center = g("center", 2)
+        center_z = g("center_z", 1)
+        dim = jnp.exp(g("dim", 3))
+        rot = g("rot", 2)
+        angle = jnp.arctan2(rot[..., 1:2], rot[..., 0:1])
+        x_w = (xs[..., None] + center[..., 0:1]) * feature_map_stride * float(voxel_size[0]) + float(point_cloud_range[0])
+        y_w = (ys[..., None] + center[..., 1:2]) * feature_map_stride * float(voxel_size[1]) + float(point_cloud_range[1])
+        parts = [x_w, y_w, center_z, dim, angle]
+        if with_vel:
+            parts.append(g("vel", 2))
+        boxes = jnp.concatenate(parts, axis=-1)  # (B, K, box_dim)
+
+        valid = jnp.all(boxes[..., :3] >= pclr[:3], -1) & jnp.all(boxes[..., :3] <= pclr[3:], -1)
+        if score_thresh is not None:
+            valid &= scores > score_thresh
+
+        if with_iou:
+            iou_p = jnp.clip(g("iou", 1)[..., 0], 0.0, 1.0)
+            scores = jnp.power(scores, 1 - rectifier) * jnp.power(iou_p, rectifier)
+
+        sel, sel_valid = jax.vmap(
+            partial(nms.class_agnostic_nms, nms_thresh=nms_thresh,
+                    pre_max=min(nms_pre, k_per_head), post_max=nms_post)
+        )(boxes, scores, valid)
+
+        take = jax.vmap(lambda a, i: a[i])
+        all_boxes.append(take(boxes, sel))
+        all_scores.append(take(scores, sel))
+        # head-local class slot -> global 1-based label (class_id_mapping,
+        # center_head.py:64-69 + :349, then +1 at :368)
+        glob1 = jnp.asarray(spec.class_ids[h], jnp.int32)  # already 1-based
+        all_labels.append(take(glob1[cls_local], sel))
+        all_valid.append(sel_valid)
+
+    return {
+        "boxes": jnp.concatenate(all_boxes, axis=1),
+        "scores": jnp.concatenate(all_scores, axis=1),
+        "labels": jnp.concatenate(all_labels, axis=1),
+        "valid": jnp.concatenate(all_valid, axis=1),
+    }

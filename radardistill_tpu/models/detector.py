@@ -1,0 +1,218 @@
+"""PillarNet detector — dual-branch teacher/student orchestrator.
+
+Reference: pcdet/models/detectors/pillarnet.py:12-96 (mode dispatch, freeze)
+and detector3d_template.py:23-26 (module topology: vfe, radar_vfe,
+backbone_3d, radar_backbone_3d, backbone_2d, radar_backbone_2d, dense_head,
+radar_dense_head — the slots RadarDistill exercises).
+
+TPU re-design: one flax module whose submodule scopes mirror the topology
+slot names, returning a `batch_dict`-style output pytree. Mode flags are
+STATIC (baked into the trace): `has_teacher`/`has_radar` come from the
+config (radar_distill_val.yaml deletes the teacher branch entirely), and
+FREEZE_PIPELINE maps to (a) eval-mode BN + stop_gradient on the frozen
+branch here, and (b) an optax mask in train/optim.py.
+
+Unlike the reference, the teacher *head* is skipped during distillation
+training: its predictions (`lidar_pred_dicts`) are stashed but never read by
+any loss (radar_distill_final.py:144-175 consumes only radar preds + GT
+heatmaps), so computing them is dead work. It still runs in teacher-eval.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .backbone_sparse2d import PillarRes18BackBone8x
+from .bev_backbone import BaseBEVBackboneV2
+from .center_head import CenterHead, HeadSpec, assign_targets, decode_and_nms
+from .distill import CMAHourglass
+from .vfe import DynamicPillarVFESimple2D
+
+# topology slot -> FREEZE_PIPELINE class names of the reference
+FREEZE_NAME_TO_SCOPE = {
+    "DynamicPillarVFESimple2D": "vfe",
+    "PillarRes18BackBone8x": "backbone_3d",
+    "BaseBEVBackboneV2": "backbone_2d",
+    "CenterHead": "dense_head",
+    "Radar_DynamicPillarVFESimple2D": "radar_vfe",
+    "Radar_PillarRes18BackBone8x": "radar_backbone_3d",
+    "Radar_Distill": "radar_backbone_2d",
+    "Radar_CenterHead": "radar_dense_head",
+}
+
+
+def _neck_kwargs(cfg):
+    return dict(
+        layer_nums=tuple(cfg["LAYER_NUMS"]),
+        layer_strides=tuple(cfg["LAYER_STRIDES"]),
+        num_filters=tuple(cfg["NUM_FILTERS"]),
+        upsample_strides=tuple(cfg["UPSAMPLE_STRIDES"]),
+        num_upsample_filters=tuple(cfg["NUM_UPSAMPLE_FILTERS"]),
+    )
+
+
+class PillarNet(nn.Module):
+    """Flagship detector. Construct via models.build_network(cfg, dataset_info)."""
+
+    model_cfg: Any          # MODEL ConfigDict (hashed by id; treat as static)
+    grid_size: tuple        # (nx, ny) at stride 1
+    voxel_size: tuple
+    point_cloud_range: tuple
+    class_names: tuple
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.model_cfg
+        dt = self.compute_dtype
+        self.has_teacher = "VFE" in cfg
+        self.has_radar = "RADAR_VFE" in cfg
+        self.frozen = {
+            FREEZE_NAME_TO_SCOPE[n]
+            for n in cfg.get("FREEZE_PIPELINE", [])
+            if n in FREEZE_NAME_TO_SCOPE
+        }
+
+        def make_vfe(sub):
+            return DynamicPillarVFESimple2D(
+                num_filters=tuple(sub["NUM_FILTERS"]),
+                voxel_size=self.voxel_size,
+                point_cloud_range=self.point_cloud_range,
+                grid_size=self.grid_size,
+                use_norm=sub.get("USE_NORM", True),
+                with_distance=sub.get("WITH_DISTANCE", False),
+                use_absolute_xyz=sub.get("USE_ABSLOTE_XYZ", True),
+                use_cluster_xyz=sub.get("USE_CLUSTER_XYZ", True),
+            )
+
+        def make_head(sub):
+            spec = HeadSpec(sub["CLASS_NAMES_EACH_HEAD"], self.class_names)
+            return CenterHead(
+                spec=spec,
+                shared_channels=sub["SHARED_CONV_CHANNEL"],
+                num_hm_conv=sub["NUM_HM_CONV"],
+                use_bias_before_norm=sub.get("USE_BIAS_BEFORE_NORM", False),
+                with_iou="iou" in sub["SEPARATE_HEAD_CFG"]["HEAD_DICT"],
+                dtype=dt,
+            )
+
+        if self.has_teacher:
+            self.vfe = make_vfe(cfg["VFE"])
+            self.backbone_3d = PillarRes18BackBone8x(dtype=dt)
+            self.backbone_2d = BaseBEVBackboneV2(dtype=dt, **_neck_kwargs(cfg["BACKBONE_2D"]))
+            self.dense_head = make_head(cfg["DENSE_HEAD"])
+            self.head_spec = self.dense_head.spec
+        if self.has_radar:
+            self.radar_vfe = make_vfe(cfg["RADAR_VFE"])
+            self.radar_backbone_3d = PillarRes18BackBone8x(dtype=dt)
+            self.radar_cma = CMAHourglass(dim=256, dtype=dt)
+            self.radar_neck = BaseBEVBackboneV2(dtype=dt, **_neck_kwargs(cfg["RADAR_BACKBONE_2D"]))
+            self.radar_dense_head = make_head(cfg["RADAR_DENSE_HEAD"])
+            self.radar_head_spec = self.radar_dense_head.spec
+
+    def _maybe_freeze(self, scope: str, train: bool):
+        """Frozen modules run in eval mode (running BN stats) every forward
+        (pillarnet.py:28-33)."""
+        return train and (scope not in self.frozen)
+
+    def _stop(self, scope: str, x):
+        if scope in self.frozen:
+            return jax.tree.map(jax.lax.stop_gradient, x)
+        return x
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
+        cfg = self.model_cfg
+        out: Dict[str, Any] = {}
+        dt = self.compute_dtype
+
+        if self.has_teacher:
+            bev, mask = self.vfe(
+                batch["points"].astype(dt), batch["points_mask"],
+                self._maybe_freeze("vfe", train),
+            )
+            bev, mask = self._stop("vfe", (bev, mask))
+            ms = self.backbone_3d(bev, mask, self._maybe_freeze("backbone_3d", train))
+            ms = self._stop("backbone_3d", ms)
+            out["x_conv4"] = ms["x_conv4"]
+            out["x_conv5"] = ms["x_conv5"]
+            sp2d, sp2d_8x = self.backbone_2d(
+                ms["x_conv4"], ms["x_conv5"], self._maybe_freeze("backbone_2d", train)
+            )
+            sp2d, sp2d_8x = self._stop("backbone_2d", (sp2d, sp2d_8x))
+            out["spatial_features_2d"] = sp2d
+            out["spatial_features_2d_8x"] = sp2d_8x
+            # teacher head: skipped during distill training (dead compute);
+            # run for teacher-only eval / plain training (and during init so
+            # its params exist for checkpointing / teacher eval)
+            if (not self.has_radar) or (not train) or self.is_initializing():
+                out["lidar_preds"] = self._stop(
+                    "dense_head",
+                    self.dense_head(sp2d, self._maybe_freeze("dense_head", train)),
+                )
+
+        if self.has_radar:
+            rbev, rmask = self.radar_vfe(
+                batch["radar_points"].astype(dt), batch["radar_points_mask"],
+                self._maybe_freeze("radar_vfe", train),
+            )
+            rms = self.radar_backbone_3d(
+                rbev, rmask, self._maybe_freeze("radar_backbone_3d", train)
+            )
+            out["radar_x_conv4"] = rms["x_conv4"]
+            cma_train = self._maybe_freeze("radar_backbone_2d", train)
+            dense_8x_2, dense_8x_1 = self.radar_cma(rms["x_conv4"], cma_train)
+            out["radar_spatial_features_8x_2"] = dense_8x_2
+            out["radar_spatial_features_8x_1"] = dense_8x_1
+            rsp2d, rsp2d_8x = self.radar_neck(dense_8x_2, rms["x_conv5"], cma_train)
+            out["radar_spatial_features_2d"] = rsp2d
+            out["radar_spatial_features_2d_8x"] = rsp2d_8x
+            out["radar_preds"] = self.radar_dense_head(
+                rsp2d, self._maybe_freeze("radar_dense_head", train)
+            )
+
+        # targets (training): one assignment shared by head + PFD losses
+        if train and "gt_boxes" in batch:
+            spec = self.radar_head_spec if self.has_radar else self.head_spec
+            head_cfg = cfg["RADAR_DENSE_HEAD"] if self.has_radar else cfg["DENSE_HEAD"]
+            ta = head_cfg["TARGET_ASSIGNER_CONFIG"]
+            fmap = out["radar_spatial_features_2d"] if self.has_radar else out["spatial_features_2d"]
+            out["target_dicts"] = assign_targets(
+                batch["gt_boxes"],
+                spec,
+                (fmap.shape[1], fmap.shape[2]),
+                ta["FEATURE_MAP_STRIDE"],
+                self.voxel_size,
+                self.point_cloud_range,
+                num_max_objs=ta["NUM_MAX_OBJS"],
+                gaussian_overlap=ta["GAUSSIAN_OVERLAP"],
+                min_radius=ta["MIN_RADIUS"],
+            )
+
+        # decode at eval (final_box_dicts; radar head wins when present)
+        if not train:
+            head_cfg = cfg["RADAR_DENSE_HEAD"] if self.has_radar else cfg["DENSE_HEAD"]
+            spec = self.radar_head_spec if self.has_radar else self.head_spec
+            preds = out["radar_preds"] if self.has_radar else out["lidar_preds"]
+            pp = head_cfg["POST_PROCESSING"]
+            fmap = out["radar_spatial_features_2d"] if self.has_radar else out["spatial_features_2d"]
+            out["final_box_dicts"] = decode_and_nms(
+                preds,
+                spec,
+                (fmap.shape[1], fmap.shape[2]),
+                head_cfg["TARGET_ASSIGNER_CONFIG"]["FEATURE_MAP_STRIDE"],
+                self.voxel_size,
+                self.point_cloud_range,
+                pp["POST_CENTER_LIMIT_RANGE"],
+                k_per_head=pp["MAX_OBJ_PER_SAMPLE"],
+                score_thresh=pp["SCORE_THRESH"],
+                rectifier=head_cfg.get("RECTIFIER", 0.0),
+                nms_thresh=pp["NMS_CONFIG"]["NMS_THRESH"],
+                nms_pre=pp["NMS_CONFIG"]["NMS_PRE_MAXSIZE"],
+                nms_post=pp["NMS_CONFIG"]["NMS_POST_MAXSIZE"],
+                with_iou="iou" in head_cfg["SEPARATE_HEAD_CFG"]["HEAD_DICT"],
+                with_vel="vel" in head_cfg["SEPARATE_HEAD_CFG"]["HEAD_DICT"],
+            )
+        return out

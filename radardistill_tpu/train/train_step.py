@@ -1,0 +1,88 @@
+"""The single jitted train step (L5 hot loop).
+
+Reference hot loop (tools/train_utils/train_utils.py:33-151): per iteration —
+scheduler.step, zero_grad, AMP forward via model_fn, scaled backward (DDP
+allreduce), unscale, clip_grad_norm, optimizer step.
+
+TPU-native: ALL of that — teacher forward (frozen, stop_gradient), student
+forward, CMA/AFD/PFD + head losses, grad clip, AdamW update with one-cycle
+lr/momentum — is ONE jit-compiled function. bf16 compute with f32
+params/grads replaces torch AMP GradScaler (bf16 needs no loss scaling).
+Data parallelism: see parallel/mesh.py — the same compiled step runs
+sharded over the mesh; gradients reduce over ICI inside the step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models import compute_training_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, tx, sample_batch, rng=None) -> TrainState:
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    variables = model.init(rng, sample_batch, True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(model, tx, model_cfg, class_names, voxel_size, point_cloud_range):
+    """Returns train_step(state, batch) -> (state, metrics). jit-able."""
+
+    def loss_fn(params, batch_stats, batch):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch,
+            True,
+            mutable=["batch_stats"],
+        )
+        loss, tb = compute_training_loss(
+            model_cfg, out, class_names, voxel_size, point_cloud_range
+        )
+        return loss, (mutated.get("batch_stats", batch_stats), tb)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        (loss, (new_bs, tb)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        metrics = {"loss": loss, **tb}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model):
+    """eval_step(params, batch_stats, batch) -> outputs incl. final_box_dicts."""
+
+    def eval_step(params, batch_stats, batch):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch, False
+        )
+
+    return eval_step

@@ -2,20 +2,25 @@
 
 This is the multi-chip fake backend the reference lacks (SURVEY.md §4):
 sharding/pjit tests exercise a real 8-device mesh without TPU hardware.
-Must set flags before jax initializes.
+
+NOTE: this environment boots an `axon` PJRT plugin (remote TPU tunnel) from
+sitecustomize.py at interpreter start, which imports jax and pins
+JAX_PLATFORMS=axon before pytest/conftest ever runs. Env vars are therefore
+too late — we must override via jax.config AFTER import but BEFORE any
+backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import jax  # noqa: E402
+import jax  # noqa: E402  (already imported by sitecustomize; config still mutable)
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: first full run pays XLA compile cost once;
