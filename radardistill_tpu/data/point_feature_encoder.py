@@ -35,11 +35,17 @@ class PointFeatureEncoderDistill:
 
     def __init__(self, config):
         self.lidar = PointFeatureEncoder(config)
-        radar_cfg = dict(config.get("RADAR", {}))
-        radar_cfg.setdefault(
-            "used_feature_list", ["x", "y", "z", "rcs", "vx_comp", "vy_comp"]
-        )
-        radar_cfg.setdefault("src_feature_list", radar_cfg["used_feature_list"])
+        # reference config keys: radar_used_feature_list / radar_src_feature_list
+        # (nuscenes_dataset_distill.yaml POINT_FEATURE_ENCODING)
+        radar_cfg = {
+            "used_feature_list": list(
+                config.get("radar_used_feature_list", ["x", "y", "z", "rcs", "vx", "vy"])
+            ),
+            "src_feature_list": list(
+                config.get("radar_src_feature_list",
+                           config.get("radar_used_feature_list", ["x", "y", "z", "rcs", "vx", "vy"]))
+            ),
+        }
         self.radar = PointFeatureEncoder(radar_cfg)
 
     @property
