@@ -40,7 +40,10 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 10))
 
     cfg, info = make_model_cfg(grid=grid, teacher=True, radar=True, distill=True)
-    model = build_network(cfg, info, compute_dtype=jnp.bfloat16)
+    model = build_network(
+        cfg, info, compute_dtype=jnp.bfloat16,
+        remat=os.environ.get("BENCH_REMAT", "1") == "1",
+    )
 
     caps = {
         "MAX_LIDAR_POINTS": int(os.environ.get("BENCH_LIDAR_PTS", 160_000)),

