@@ -119,6 +119,48 @@ class DenseBasicBlock(nn.Module):
         return nn.relu(y + x)
 
 
+class PillarBackBone8x(nn.Module):
+    """Non-residual variant (spconv_backbone_2d.py:115-205): each stage is
+    [down +] 2x SubMConv blocks instead of residual blocks."""
+
+    dtype: Any = None
+    channels = (32, 64, 128, 256, 256)
+
+    @nn.compact
+    def __call__(self, bev, mask, train: bool) -> Dict[str, jnp.ndarray]:
+        x = bev * mask[..., None].astype(bev.dtype)
+        x = SubMConvBlock(32, self.dtype, name="conv1_0")(x, mask, train)
+        x1 = SubMConvBlock(32, self.dtype, name="conv1_1")(x, mask, train)
+
+        x, mask2 = SparseDownBlock(64, self.dtype, name="conv2_down")(x1, mask, train)
+        x = SubMConvBlock(64, self.dtype, name="conv2_0")(x, mask2, train)
+        x2 = SubMConvBlock(64, self.dtype, name="conv2_1")(x, mask2, train)
+
+        x, mask3 = SparseDownBlock(128, self.dtype, name="conv3_down")(x2, mask2, train)
+        x = SubMConvBlock(128, self.dtype, name="conv3_0")(x, mask3, train)
+        x3 = SubMConvBlock(128, self.dtype, name="conv3_1")(x, mask3, train)
+
+        x, mask4 = SparseDownBlock(256, self.dtype, name="conv4_down")(x3, mask3, train)
+        x = SubMConvBlock(256, self.dtype, name="conv4_0")(x, mask4, train)
+        x4 = SubMConvBlock(256, self.dtype, name="conv4_1")(x, mask4, train)
+
+        def dense_block(x, name):
+            y = Conv2dTorch(256, 3, 1, 1, use_bias=False, dtype=self.dtype, name=f"{name}_conv")(x)
+            y = BatchNormTorch(BN_EPS_BACKBONE, BN_MOM_BACKBONE, dtype=self.dtype, name=f"{name}_bn")(y, train)
+            return nn.relu(y)
+
+        x = Conv2dTorch(256, 3, 2, 1, use_bias=False, dtype=self.dtype, name="conv5_down_conv")(x4)
+        x = BatchNormTorch(BN_EPS_BACKBONE, BN_MOM_BACKBONE, dtype=self.dtype, name="conv5_down_bn")(x, train)
+        x = nn.relu(x)
+        x = dense_block(x, "conv5_0")
+        x5 = dense_block(x, "conv5_1")
+
+        return {
+            "x_conv1": x1, "x_conv2": x2, "x_conv3": x3, "x_conv4": x4, "x_conv5": x5,
+            "mask1": mask, "mask2": mask2, "mask3": mask3, "mask4": mask4,
+        }
+
+
 class PillarRes18BackBone8x(nn.Module):
     """Masked-dense twin-capable sparse encoder.
 

@@ -49,6 +49,85 @@ class ConvStack(nn.Module):
         return x
 
 
+class BaseBEVBackbone(nn.Module):
+    """Classic multi-level BEV FPN over a single `spatial_features` map
+    (base_bev_backbone.py:6-111): per level [strided ConvStack] + deconv back
+    to a common stride, concat (+ optional extra final deconv). Returns
+    (spatial_features_2d, dict of per-stride intermediates)."""
+
+    layer_nums: Sequence[int]
+    layer_strides: Sequence[int]
+    num_filters: Sequence[int]
+    upsample_strides: Sequence[int] = ()
+    num_upsample_filters: Sequence[int] = ()
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, spatial_features, train: bool):
+        ups, ret = [], {}
+        x = spatial_features
+        h0 = spatial_features.shape[1]
+        for i in range(len(self.layer_nums)):
+            x = ConvStack(
+                self.num_filters[i], self.layer_nums[i], stride=self.layer_strides[i],
+                dtype=self.dtype, name=f"block{i}",
+            )(x, train)
+            ret[f"spatial_features_{h0 // x.shape[1]}x"] = x
+            if len(self.upsample_strides) > i:
+                s = self.upsample_strides[i]
+                if s > 1:
+                    y = ConvTranspose2dTorch(
+                        self.num_upsample_filters[i], s, s, 0, use_bias=False,
+                        dtype=self.dtype, name=f"deblock{i}_deconv",
+                    )(x)
+                else:  # stride 1 (or fractional -> strided conv)
+                    k = max(int(round(1 / s)), 1)
+                    y = Conv2dTorch(
+                        self.num_upsample_filters[i], k, k, 0, use_bias=False,
+                        dtype=self.dtype, name=f"deblock{i}_conv",
+                    )(x) if s < 1 else ConvTranspose2dTorch(
+                        self.num_upsample_filters[i], 1, 1, 0, use_bias=False,
+                        dtype=self.dtype, name=f"deblock{i}_deconv",
+                    )(x)
+                y = BatchNormTorch(BN_EPS_BACKBONE, BN_MOM_BACKBONE, dtype=self.dtype, name=f"deblock{i}_bn")(y, train)
+                ups.append(nn.relu(y))
+            else:
+                ups.append(x)
+        x = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
+        if len(self.upsample_strides) > len(self.layer_nums):
+            s = self.upsample_strides[-1]
+            x = ConvTranspose2dTorch(x.shape[-1], s, s, 0, use_bias=False, dtype=self.dtype, name="deblock_final")(x)
+            x = BatchNormTorch(BN_EPS_BACKBONE, BN_MOM_BACKBONE, dtype=self.dtype, name="deblock_final_bn")(x, train)
+            x = nn.relu(x)
+        return x, ret
+
+
+class BaseBEVBackboneV1(nn.Module):
+    """Two-level neck over (x_conv4, x_conv5), each block deconved and
+    concatenated (base_bev_backbone.py:114-203)."""
+
+    layer_nums: Sequence[int] = (5, 5)
+    num_filters: Sequence[int] = (256, 256)
+    upsample_strides: Sequence[int] = (1, 2)
+    num_upsample_filters: Sequence[int] = (128, 128)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x_conv4, x_conv5, train: bool):
+        ups = []
+        for i, x in enumerate((x_conv4, x_conv5)):
+            x = ConvStack(self.num_filters[i], self.layer_nums[i], stride=1,
+                          dtype=self.dtype, name=f"block{i}")(x, train)
+            s = self.upsample_strides[i]
+            y = ConvTranspose2dTorch(
+                self.num_upsample_filters[i], max(s, 1), max(s, 1), 0,
+                use_bias=False, dtype=self.dtype, name=f"deblock{i}_deconv",
+            )(x)
+            y = BatchNormTorch(BN_EPS_BACKBONE, BN_MOM_BACKBONE, dtype=self.dtype, name=f"deblock{i}_bn")(y, train)
+            ups.append(nn.relu(y))
+        return jnp.concatenate(ups, axis=-1), ups[1]
+
+
 class BaseBEVBackboneV2(nn.Module):
     """Two-level BEV neck. Returns (spatial_features_2d, spatial_features_2d_8x)."""
 

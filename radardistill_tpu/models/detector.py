@@ -26,11 +26,39 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .backbone_sparse2d import PillarRes18BackBone8x
-from .bev_backbone import BaseBEVBackboneV2
+from .backbone_sparse2d import PillarBackBone8x, PillarRes18BackBone8x
+from .bev_backbone import BaseBEVBackboneV1, BaseBEVBackboneV2
 from .center_head import CenterHead, HeadSpec, assign_targets, decode_and_nms
 from .distill import CMAHourglass
-from .vfe import DynamicPillarVFESimple2D
+from .vfe import DynamicPillarVFE, DynamicPillarVFESimple2D, MeanVFE
+
+# per-stage registries (reference: pcdet/models/{backbones_3d/vfe,backbones_3d,
+# backbones_2d,dense_heads}/__init__.py __all__ dicts). Radar_* twins share
+# implementations — twinning is a parameter-scope concern here, not a class
+# concern.
+VFE_REGISTRY = {
+    "DynamicPillarVFESimple2D": DynamicPillarVFESimple2D,
+    "Radar_DynamicPillarVFESimple2D": DynamicPillarVFESimple2D,
+    "Radar_DynamicPillarVFESimple2D_Test": DynamicPillarVFESimple2D,
+    "DynamicPillarVFE": DynamicPillarVFE,
+    "MeanVFE": MeanVFE,
+    "RADAR_MeanVFE": MeanVFE,
+    "DynamicMeanVFE": MeanVFE,
+}
+BACKBONE3D_REGISTRY = {
+    "PillarRes18BackBone8x": PillarRes18BackBone8x,
+    "Radar_PillarRes18BackBone8x": PillarRes18BackBone8x,
+    "PillarBackBone8x": PillarBackBone8x,
+}
+NECK_REGISTRY = {
+    "BaseBEVBackboneV2": BaseBEVBackboneV2,
+    "BaseBEVBackboneV1": BaseBEVBackboneV1,
+    "Radar_Distill": BaseBEVBackboneV2,  # Radar_Distill = CMA + inherited V2 neck
+}
+HEAD_REGISTRY = {
+    "CenterHead": CenterHead,
+    "Radar_CenterHead": CenterHead,
+}
 
 # topology slot -> FREEZE_PIPELINE class names of the reference
 FREEZE_NAME_TO_SCOPE = {
@@ -73,10 +101,6 @@ class PillarNet(nn.Module):
         dt = self.compute_dtype
         # flax lifted remat: argnum 0 is the module instance, so the `train`
         # bool is at position 3 (backbone: self, bev, mask, train) / 2 (CMA)
-        Backbone = (
-            nn.remat(PillarRes18BackBone8x, static_argnums=(3,))
-            if self.remat else PillarRes18BackBone8x
-        )
         CMA = (
             nn.remat(CMAHourglass, static_argnums=(2,))
             if self.remat else CMAHourglass
@@ -90,7 +114,14 @@ class PillarNet(nn.Module):
         }
 
         def make_vfe(sub):
-            return DynamicPillarVFESimple2D(
+            cls = VFE_REGISTRY[sub.get("NAME", "DynamicPillarVFESimple2D")]
+            if cls is MeanVFE:
+                return MeanVFE(
+                    voxel_size=self.voxel_size,
+                    point_cloud_range=self.point_cloud_range,
+                    grid_size=self.grid_size,
+                )
+            return cls(
                 num_filters=tuple(sub["NUM_FILTERS"]),
                 voxel_size=self.voxel_size,
                 point_cloud_range=self.point_cloud_range,
@@ -112,17 +143,30 @@ class PillarNet(nn.Module):
                 dtype=dt,
             )
 
+        def make_backbone(sub):
+            cls = BACKBONE3D_REGISTRY[sub.get("NAME", "PillarRes18BackBone8x")]
+            if self.remat:
+                cls = nn.remat(cls, static_argnums=(3,))
+            return cls(dtype=dt)
+
+        def make_neck(sub):
+            cls = NECK_REGISTRY[sub.get("NAME", "BaseBEVBackboneV2")]
+            kwargs = _neck_kwargs(sub)
+            if cls is BaseBEVBackboneV1:
+                kwargs.pop("layer_strides", None)
+            return cls(dtype=dt, **kwargs)
+
         if self.has_teacher:
             self.vfe = make_vfe(cfg["VFE"])
-            self.backbone_3d = Backbone(dtype=dt)
-            self.backbone_2d = BaseBEVBackboneV2(dtype=dt, **_neck_kwargs(cfg["BACKBONE_2D"]))
+            self.backbone_3d = make_backbone(cfg.get("BACKBONE_3D", {}))
+            self.backbone_2d = make_neck(cfg["BACKBONE_2D"])
             self.dense_head = make_head(cfg["DENSE_HEAD"])
             self.head_spec = self.dense_head.spec
         if self.has_radar:
             self.radar_vfe = make_vfe(cfg["RADAR_VFE"])
-            self.radar_backbone_3d = Backbone(dtype=dt)
+            self.radar_backbone_3d = make_backbone(cfg.get("RADAR_BACKBONE_3D", {}))
             self.radar_cma = CMA(dim=256, dtype=dt)
-            self.radar_neck = BaseBEVBackboneV2(dtype=dt, **_neck_kwargs(cfg["RADAR_BACKBONE_2D"]))
+            self.radar_neck = make_neck(cfg["RADAR_BACKBONE_2D"])
             self.radar_dense_head = make_head(cfg["RADAR_DENSE_HEAD"])
             self.radar_head_spec = self.radar_dense_head.spec
 

@@ -146,6 +146,60 @@ class DynamicPillarVFESimple2D(nn.Module):
         return self.num_filters[-1]
 
 
+class MeanVFE(nn.Module):
+    """Mean-pool VFE (vfe/mean_vfe.py MeanVFE / RADAR_MeanVFE): per-pillar
+    mean of raw point features, no learned layers."""
+
+    voxel_size: Sequence[float]
+    point_cloud_range: Sequence[float]
+    grid_size: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, points, point_mask, train: bool):
+        coords, in_range = voxelize.compute_pillar_coords(
+            points[..., :2], self.point_cloud_range, self.voxel_size, self.grid_size
+        )
+        valid = point_mask & in_range
+        ids = voxelize.pillar_ids(coords, valid, self.grid_size)
+        feats = jnp.where(valid[..., None], points, 0.0)
+        sums = jax.vmap(lambda f, i: voxelize.scatter_sum_bev(f, i, self.grid_size))(feats, ids)
+        cnt = jax.vmap(lambda i: voxelize.pillar_count(i, self.grid_size))(ids)
+        bev = sums / jnp.clip(cnt, 1.0)[..., None]
+        return bev, cnt > 0
+
+
+class DynamicPillarVFE(DynamicPillarVFESimple2D):
+    """Original DynamicPillarVFE feature layout
+    (dynamic_pillar_vfe.py:49-142): [raw(abs)|extras, f_cluster, f_center]
+    (no f_relative), with multi-layer PFN supported by the shared PFNLayerV2."""
+
+    use_relative_xyz: bool = False
+
+    def build_point_features(self, points, valid, ids):
+        vx, vy, vz = self.voxel_size[:3]
+        x_off = vx / 2 + self.point_cloud_range[0]
+        y_off = vy / 2 + self.point_cloud_range[1]
+        z_off = vz / 2 + self.point_cloud_range[2]
+        xyz = points[..., 0:3]
+        nx = self.grid_size[0]
+        cx = ids % nx
+        cy = ids // nx
+        f_center = jnp.stack(
+            [
+                xyz[..., 0] - (cx.astype(xyz.dtype) * vx + x_off),
+                xyz[..., 1] - (cy.astype(xyz.dtype) * vy + y_off),
+                xyz[..., 2] - z_off,
+            ],
+            axis=-1,
+        )
+        mean = jax.vmap(lambda p, i: voxelize.pillar_mean_per_point(p, i, self.grid_size))(xyz, ids)
+        feats = [points if self.use_absolute_xyz else points[..., 3:], xyz - mean, f_center]
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+        out = jnp.concatenate(feats, axis=-1)
+        return jnp.where(valid[..., None], out, 0.0)
+
+
 def vfe_input_dim(num_raw_features: int, cfg) -> int:
     """Channel count fed to the first PFN linear, matching
     dynamic_pillar_vfe.py:150-163."""

@@ -103,7 +103,9 @@ class CheckpointManager:
     def restore(self, state_template, epoch: int | None = None):
         """Restore newest (or given-epoch) ckpt; returns (state, epoch, it)
         or None. Corrupted ckpts are skipped newest-first
-        (tools/train.py:160-172 semantics)."""
+        (tools/train.py:160-172 semantics). If the template's optimizer-state
+        structure doesn't match (e.g. evaluating with a different optimizer),
+        falls back to a params/batch_stats-only overlay."""
         epochs = self.list_epochs() if epoch is None else [epoch]
         template = {
             "state": state_template,
@@ -116,6 +118,17 @@ class CheckpointManager:
             try:
                 payload = self._ckptr.restore(path.absolute(), item=template)
                 return payload["state"], int(payload["epoch"]), int(payload["it"])
+            except Exception:
+                pass
+            try:  # params-only fallback (raw pytree restore)
+                raw = self._ckptr.restore(path.absolute())
+                state = state_template.replace(
+                    params=_overlay(state_template.params, raw["state"]["params"]),
+                    batch_stats=_overlay(
+                        state_template.batch_stats, raw["state"]["batch_stats"]
+                    ),
+                )
+                return state, int(np.asarray(raw["epoch"])), int(np.asarray(raw["it"]))
             except Exception:
                 continue
         return None
