@@ -196,6 +196,9 @@ def center_distance_ap(gt_boxes, gt_names, det_boxes, det_scores, det_names,
                         taken[j] = True
             if n_gt == 0:
                 continue
+            if not scores_all:
+                aps.setdefault(cls, {})[thresh] = 0.0
+                continue
             order = np.argsort(-np.asarray(scores_all))
             tp = np.cumsum(np.asarray(tps)[order])
             fp = np.cumsum(np.asarray(fps)[order])

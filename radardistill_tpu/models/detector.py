@@ -62,14 +62,15 @@ HEAD_REGISTRY = {
 
 # topology slot -> FREEZE_PIPELINE class names of the reference
 FREEZE_NAME_TO_SCOPE = {
-    "DynamicPillarVFESimple2D": "vfe",
-    "PillarRes18BackBone8x": "backbone_3d",
-    "BaseBEVBackboneV2": "backbone_2d",
-    "CenterHead": "dense_head",
-    "Radar_DynamicPillarVFESimple2D": "radar_vfe",
-    "Radar_PillarRes18BackBone8x": "radar_backbone_3d",
-    "Radar_Distill": "radar_backbone_2d",
-    "Radar_CenterHead": "radar_dense_head",
+    "DynamicPillarVFESimple2D": ("vfe",),
+    "PillarRes18BackBone8x": ("backbone_3d",),
+    "BaseBEVBackboneV2": ("backbone_2d",),
+    "CenterHead": ("dense_head",),
+    "Radar_DynamicPillarVFESimple2D": ("radar_vfe",),
+    "Radar_PillarRes18BackBone8x": ("radar_backbone_3d",),
+    # Radar_Distill = CMA hourglass + inherited neck -> two param scopes
+    "Radar_Distill": ("radar_cma", "radar_neck"),
+    "Radar_CenterHead": ("radar_dense_head",),
 }
 
 
@@ -108,9 +109,9 @@ class PillarNet(nn.Module):
         self.has_teacher = "VFE" in cfg
         self.has_radar = "RADAR_VFE" in cfg
         self.frozen = {
-            FREEZE_NAME_TO_SCOPE[n]
+            scope
             for n in cfg.get("FREEZE_PIPELINE", [])
-            if n in FREEZE_NAME_TO_SCOPE
+            for scope in FREEZE_NAME_TO_SCOPE.get(n, ())
         }
 
         def make_vfe(sub):

@@ -36,7 +36,8 @@ def test_focal_loss_no_positives():
     pred = np.full((1, 2, 4, 4), 0.3, np.float32)
     gt = np.zeros((1, 2, 4, 4), np.float32)
     got = float(focal_loss_cornernet(jnp.asarray(pred), jnp.asarray(gt)))
-    want = -float(np.sum(np.log(1 - 0.3) * 0.3 ** 2 * 1.0))
+    # no positives -> loss = -sum(neg_loss) over every element (no num_pos norm)
+    want = -float(np.log(1 - 0.3) * 0.3 ** 2) * pred.size
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 

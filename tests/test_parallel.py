@@ -1,0 +1,48 @@
+"""Data-parallel correctness: the sharded 8-device train step must produce
+the same loss/params as the single-device run on the same global batch —
+the property DDP gets by construction and the reference never tests
+(SURVEY.md §4.5: no fake multi-device backend there)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from radardistill_tpu.config import ConfigDict
+from radardistill_tpu.models import build_network
+from radardistill_tpu.parallel.mesh import make_mesh
+from radardistill_tpu.train.optim import build_optimizer
+from radardistill_tpu.train.train_step import create_train_state, make_train_step
+from radardistill_tpu.utils.testing import CLASS_NAMES, make_model_cfg
+from tests.test_e2e import make_batch, CAPS, GRID
+
+
+def test_dp_matches_single_device():
+    cfg, info = make_model_cfg(grid=GRID, num_max_objs=32, k_per_head=64, nms_post=16)
+    model = build_network(cfg, info)
+    batch = make_batch(bs=8)
+    optim_cfg = ConfigDict(
+        OPTIMIZER="adam_onecycle", LR=1e-3, WEIGHT_DECAY=0.01, MOMS=[0.95, 0.85],
+        PCT_START=0.4, DIV_FACTOR=10, GRAD_NORM_CLIP=10,
+    )
+    tx, _ = build_optimizer(optim_cfg, None, total_steps=10)
+    state = create_train_state(model, tx, batch)
+    step = make_train_step(model, tx, cfg, CLASS_NAMES, info["voxel_size"], info["point_cloud_range"])
+
+    # single device
+    s1, m1 = jax.jit(step)(state, batch)
+    loss_single = float(m1["loss"])
+
+    # 8-device dp
+    mesh = make_mesh(jax.devices()[:8])
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+    state_dp = jax.device_put(state, repl)
+    batch_dp = jax.tree.map(lambda x: jax.device_put(x, dp), batch)
+    s8, m8 = jax.jit(step, in_shardings=(repl, dp), out_shardings=(repl, repl))(state_dp, batch_dp)
+    loss_dp = float(m8["loss"])
+
+    np.testing.assert_allclose(loss_dp, loss_single, rtol=2e-4)
+    p1 = jax.tree.leaves(s1.params["radar_backbone_3d"])[0]
+    p8 = jax.tree.leaves(s8.params["radar_backbone_3d"])[0]
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), rtol=1e-3, atol=1e-5)

@@ -41,6 +41,8 @@ def parse_config():
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no-bf16", dest="bf16", action="store_false")
     parser.add_argument("--platform", type=str, default=None, help="jax platform override (cpu for smoke tests)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of the first training steps")
     args = parser.parse_args()
 
     from radardistill_tpu.config import ConfigDict, cfg_from_list, cfg_from_yaml_file
@@ -115,7 +117,7 @@ def main():
         n for n in cfg.MODEL.get("FREEZE_PIPELINE", [])
     ]
     from radardistill_tpu.models.detector import FREEZE_NAME_TO_SCOPE
-    frozen_scopes = [FREEZE_NAME_TO_SCOPE[n] for n in frozen if n in FREEZE_NAME_TO_SCOPE]
+    frozen_scopes = [s for n in frozen for s in FREEZE_NAME_TO_SCOPE.get(n, ())]
 
     tx, lr_sched = build_optimizer(cfg.OPTIMIZATION, None, total_steps)
     state = create_train_state(model, tx, sample_batch, jax.random.PRNGKey(args.seed))
@@ -161,6 +163,18 @@ def main():
         tb = SummaryWriter(str(output_dir / "tensorboard")) if jax.process_index() == 0 else None
     except ImportError:
         tb = None
+
+    if args.profile_dir:
+        # capture a short trace of the compiled step (utils/profiler.py)
+        from radardistill_tpu.utils.profiler import trace
+
+        warm_batch = shard_fn(sample_batch)
+        state, _ = jstep(state, warm_batch)  # compile outside the trace
+        with trace(args.profile_dir):
+            for _ in range(3):
+                state, m = jstep(state, warm_batch)
+            jax.block_until_ready(m["loss"])
+        logger.info(f"profiler trace written to {args.profile_dir}")
 
     logger.info("**********************Start training**********************")
     train_model(
