@@ -28,6 +28,8 @@ def parse_config():
     parser.add_argument("--eval_tag", type=str, default="default")
     parser.add_argument("--max_waiting_mins", type=float, default=30)
     parser.add_argument("--infer_time", action="store_true")
+    parser.add_argument("--cal_params", action="store_true",
+                        help="report exact FLOPs/bytes from XLA cost analysis (thop equivalent)")
     parser.add_argument("--platform", type=str, default=None)
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -50,6 +52,17 @@ def eval_ckpt(args, cfg, state, model, test_set, test_loader, logger, output_dir
 
     eval_step = jax.jit(make_eval_step(model))
 
+    if args.cal_params:
+        from radardistill_tpu.utils.profiler import cost_analysis
+        import jax.numpy as jnp
+
+        b0, _ = next(iter(test_loader))
+        b0 = {k: jnp.asarray(v) for k, v in b0.items()}
+        ca = cost_analysis(make_eval_step(model), state.params, state.batch_stats, b0)
+        n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(state.params))
+        logger.info(f"params: {n_params/1e6:.2f}M  flops/batch: {ca['flops']/1e9:.1f} G  "
+                    f"bytes: {ca['bytes_accessed']/1e9:.2f} G")
+
     def loader_iter():
         import jax.numpy as jnp
         for batch, host in test_loader:
@@ -63,6 +76,9 @@ def eval_ckpt(args, cfg, state, model, test_set, test_loader, logger, output_dir
     )
     if args.infer_time and timing["p50_ms"]:
         logger.info(f"inference p50: {timing['p50_ms']:.1f} ms/batch")
+    from radardistill_tpu.parallel.multihost import gather_detections
+
+    det_annos = gather_detections(det_annos)
     result_str, result_dict = test_set.evaluation(
         det_annos, cfg.CLASS_NAMES, output_path=str(output_dir / f"eval_{epoch_tag}")
     )

@@ -164,6 +164,16 @@ def main():
     except ImportError:
         tb = None
 
+    # optional wandb (reference: rank-0 wandb init, tools/train.py:184-198)
+    if os.environ.get("WANDB_PROJECT") and jax.process_index() == 0:
+        try:
+            import wandb
+
+            wandb.init(project=os.environ["WANDB_PROJECT"], name=f"{cfg.TAG}/{args.extra_tag}",
+                       config={"cfg_file": args.cfg_file})
+        except ImportError:
+            logger.warning("wandb not installed; skipping")
+
     if args.profile_dir:
         # capture a short trace of the compiled step (utils/profiler.py)
         from radardistill_tpu.utils.profiler import trace
