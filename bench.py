@@ -23,7 +23,52 @@ import numpy as np  # noqa: E402
 A100_X2_TARGET = 16.0  # samples/s/chip
 
 
+def infer_bench():
+    """Secondary metric: radar-only e2e inference latency (BASELINE.md row
+    'Inference latency'). BENCH_MODE=infer."""
+    import jax
+    import jax.numpy as jnp
+
+    from radardistill_tpu.data.collate import collate_batch
+    from radardistill_tpu.data.synthetic import make_scene
+    from radardistill_tpu.models import build_network
+    from radardistill_tpu.utils.testing import make_model_cfg
+
+    grid = int(os.environ.get("BENCH_GRID", 1440))
+    cfg, info = make_model_cfg(grid=grid, teacher=False, radar=True, distill=None)
+    model = build_network(cfg, info, compute_dtype=jnp.bfloat16)
+    s = make_scene(0, num_lidar=100, num_radar=3000, num_boxes=40,
+                   pc_range=info["point_cloud_range"])
+    del s["points"]
+    b = collate_batch([s], {"MAX_RADAR_POINTS": 8192, "NUM_MAX_OBJS": 500})
+    b.pop("_host", None)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+
+    @jax.jit
+    def fwd(variables, batch):
+        return model.apply(variables, batch, False)["final_box_dicts"]
+
+    out = fwd(variables, batch)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        out = fwd(variables, batch)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times) * 1e3)
+    print(json.dumps({
+        "metric": "radar_infer_p50_ms",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": round(50.0 / p50, 3),  # vs ~50ms typical GPU e2e
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "infer":
+        return infer_bench()
     import jax
     import jax.numpy as jnp
 

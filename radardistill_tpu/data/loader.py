@@ -35,11 +35,16 @@ DATASETS = {
 
 
 class DataLoader:
-    """Iterates dataset indices -> collated fixed-shape batches."""
+    """Iterates dataset indices -> collated fixed-shape batches.
+
+    With workers > 0 the per-sample pipeline (augment + encode + pad) runs in
+    torch CPU worker processes (torch here is purely a host-side process-pool
+    utility — the reference's dataloader machinery, tools/train.py:96-101 —
+    not a compute dependency)."""
 
     def __init__(self, dataset: DatasetTemplate, batch_size: int, shuffle: bool,
                  seed: int = 0, drop_last: bool = None, process_index: int = 0,
-                 process_count: int = 1):
+                 process_count: int = 1, workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -48,6 +53,7 @@ class DataLoader:
         self.drop_last = dataset.training if drop_last is None else drop_last
         self.process_index = process_index
         self.process_count = process_count
+        self.workers = workers
 
     def set_epoch(self, epoch):
         self.epoch = epoch
@@ -68,7 +74,7 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _iter_serial(self):
         idx = self._indices()
         nb = len(self)
         for b in range(nb):
@@ -80,6 +86,40 @@ class DataLoader:
             batch = self.dataset.collate(samples)
             host = batch.pop("_host", None)
             yield batch, host
+
+    def _iter_workers(self):
+        import torch.utils.data as tud
+
+        ds = self.dataset
+
+        class _Wrap(tud.Dataset):
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                return ds[int(i)]
+
+        idx = self._indices()
+        nb = len(self)
+        if self.drop_last:
+            idx = idx[: nb * self.batch_size]
+        elif len(idx) < nb * self.batch_size:
+            idx = np.concatenate([idx, idx[: nb * self.batch_size - len(idx)]])
+
+        loader = tud.DataLoader(
+            _Wrap(), batch_size=self.batch_size, sampler=idx.tolist(),
+            num_workers=self.workers, collate_fn=ds.collate,
+            persistent_workers=False, drop_last=False,
+        )
+        for batch in loader:
+            host = batch.pop("_host", None)
+            yield batch, host
+
+    def __iter__(self):
+        if self.workers > 0:
+            yield from self._iter_workers()
+        else:
+            yield from self._iter_serial()
 
 
 def build_dataloader(
@@ -96,6 +136,6 @@ def build_dataloader(
         dataset.merge_all_iters_to_one_epoch(True, total_epochs)
     loader = DataLoader(
         dataset, batch_size, shuffle=training, seed=seed,
-        process_index=process_index, process_count=process_count,
+        process_index=process_index, process_count=process_count, workers=workers,
     )
     return dataset, loader

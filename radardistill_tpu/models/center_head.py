@@ -223,6 +223,9 @@ def assign_targets(
     x0, y0 = float(point_cloud_range[0]), float(point_cloud_range[1])
     D = gt_boxes.shape[-1]
 
+    ids_table = jnp.asarray(spec.class_ids)        # (n_heads, max_cls)
+    valid_table = jnp.asarray(spec.class_valid)    # (n_heads, max_cls)
+
     def per_sample(boxes):
         cls = boxes[:, -1].astype(jnp.int32)
         coord_x = jnp.clip((boxes[:, 0] - x0) / vx / feature_map_stride, 0, W - 0.5)
@@ -247,26 +250,24 @@ def assign_targets(
             ret = ret.at[:, 8:].set(boxes[:, 7:-1])
         inds = cint_y * W + cint_x
 
-        hms, tboxes, indses, maskses, gt7s = [], [], [], [], []
-        for h in range(spec.num_heads):
-            ids = jnp.asarray(spec.class_ids[h])  # (max_cls,)
+        def per_head(ids, vmask):
             match = cls[:, None] == ids[None, :]  # (M, max_cls)
-            in_head = jnp.any(match & jnp.asarray(spec.class_valid[h])[None], axis=1)
+            in_head = jnp.any(match & vmask[None], axis=1)
             local = jnp.argmax(match, axis=1)
             sel = in_head & ok_size
             hm = _stamp_heatmap(
                 jnp.stack([cint_x, cint_y], -1), radius, local, sel, (H, W), spec.max_cls
             )
-            hms.append(jnp.transpose(hm, (1, 2, 0)))  # (H, W, max_cls)
             m = sel.astype(jnp.int32)
-            tboxes.append(ret * m[:, None])
-            indses.append(inds * m)
-            maskses.append(m)
-            gt7s.append(boxes[:, :7] * m[:, None].astype(boxes.dtype))
-        return (
-            jnp.stack(hms), jnp.stack(tboxes), jnp.stack(indses),
-            jnp.stack(maskses), jnp.stack(gt7s),
-        )
+            return (
+                jnp.transpose(hm, (1, 2, 0)),  # (H, W, max_cls)
+                ret * m[:, None],
+                inds * m,
+                m,
+                boxes[:, :7] * m[:, None].astype(boxes.dtype),
+            )
+
+        return jax.vmap(per_head)(ids_table, valid_table)
 
     heat, tb, inds, masks, gt7 = jax.vmap(per_sample)(gt_boxes)
     return {
@@ -369,74 +370,87 @@ def centerhead_loss(
     with_iou: bool = True,
     iou_reg: bool = True,
 ):
-    """Full CenterHead loss (center_head.py:241-311), summed over task heads."""
+    """Full CenterHead loss (center_head.py:241-311), summed over task heads.
+
+    The reference's per-head python loop is a single vmap over the stacked
+    head axis here (one-sixth the HLO; one fused kernel set)."""
     H, W = hw
-    total = 0.0
-    tb = {}
     cw = jnp.asarray(code_weights, jnp.float32)
     cls_valid = jnp.asarray(spec.class_valid)  # (n_heads, max_cls)
 
-    for h in range(spec.num_heads):
-        hm_pred = clip_sigmoid(preds["hm"][..., h, :].astype(jnp.float32))
-        hm_tgt = targets["heatmaps"][:, h]
-        # padded class channels: force pred=eps-target=0 contribution to 0 via mask
-        vmask = cls_valid[h][None, None, None, :]
-        hm_pred = jnp.where(vmask, hm_pred, 1e-4)
-        hm_tgt = jnp.where(vmask, hm_tgt, 0.0)
-        # (with pred=1e-4, neg loss on padded channels ~ -log(1-1e-4)*1e-8 ≈ 0)
+    # stack preds head-first: (n_heads, B, H, W, C)
+    def hfirst(key):
+        return jnp.moveaxis(preds[key].astype(jnp.float32), 3, 0)
+
+    hm_p = hfirst("hm")
+    reg_map = jnp.concatenate(
+        [hfirst(k) for k in ("center", "center_z", "dim", "rot", "vel")], axis=-1
+    )  # (n_heads, B, H, W, 10)
+    iou_p = hfirst("iou") if with_iou else None
+    box_parts = {k: hfirst(k) for k in ("center", "center_z", "dim", "rot")}
+
+    t_hm = jnp.moveaxis(targets["heatmaps"], 1, 0)       # (n_heads, B, H, W, maxC)
+    t_boxes = jnp.moveaxis(targets["target_boxes"], 1, 0)
+    t_inds = jnp.moveaxis(targets["inds"], 1, 0)
+    t_masks = jnp.moveaxis(targets["masks"], 1, 0)
+    t_gt7 = jnp.moveaxis(targets["gt_box7"], 1, 0)
+
+    def one_head(hm_p, reg_map, iou_p, bp, t_hm, t_boxes, t_inds, t_masks, t_gt7, vmask):
+        hm_pred = clip_sigmoid(hm_p)
+        # padded class channels contribute ~0 (pred=eps, target=0)
+        hm_pred = jnp.where(vmask[None, None, None, :], hm_pred, 1e-4)
+        hm_tgt = jnp.where(vmask[None, None, None, :], t_hm, 0.0)
         hm_loss = focal_loss_cornernet(hm_pred, hm_tgt) * cls_weight
 
-        # regression: cat HEAD_ORDER minus iou (dropped when with_iou&iou_reg,
-        # center_head.py:254-256)
-        reg_parts = [preds[k][..., h, :] for k in ("center", "center_z", "dim", "rot", "vel")]
-        reg_map = jnp.concatenate(reg_parts, axis=-1).astype(jnp.float32)  # (B,H,W,10)
         b = reg_map.shape[0]
         reg_flat = reg_map.reshape(b, H * W, -1)
-        inds = targets["inds"][:, h]
-        pred_at = jax.vmap(gather_at_inds)(reg_flat, inds)  # (B, M, 10)
-        reg_loss = reg_l1_loss(pred_at, targets["target_boxes"][:, h, :, : reg_map.shape[-1]],
-                               targets["masks"][:, h])
+        pred_at = jax.vmap(gather_at_inds)(reg_flat, t_inds)  # (B, M, 10)
+        reg_loss = reg_l1_loss(pred_at, t_boxes[..., : reg_map.shape[-1]], t_masks)
         loc_loss = jnp.sum(reg_loss * cw) * loc_weight
 
-        total = total + hm_loss + loc_loss
-        tb[f"hm_loss_head_{h}"] = hm_loss
-        tb[f"loc_loss_head_{h}"] = loc_loss
-
+        iou_loss = jnp.float32(0.0)
+        iou_reg_loss = jnp.float32(0.0)
         if with_iou or iou_reg:
-            preds_h = {k: preds[k][..., h, :] for k in ("center", "center_z", "dim", "rot")}
             box_map = decode_boxes_full_map(
-                preds_h, hw, feature_map_stride, voxel_size, point_cloud_range
+                bp, hw, feature_map_stride, voxel_size, point_cloud_range
             )  # (B, HW, 7)
-            box_at = jax.vmap(gather_at_inds)(box_map, inds)  # (B, M, 7)
-            mask = targets["masks"][:, h].astype(jnp.float32)
-            gt7 = targets["gt_box7"][:, h]
+            box_at = jax.vmap(gather_at_inds)(box_map, t_inds)  # (B, M, 7)
+            mask = t_masks.astype(jnp.float32)
             nmask = jnp.sum(mask)
-
             if with_iou:
                 iou_pred_at = jax.vmap(gather_at_inds)(
-                    preds["iou"][..., h, :].astype(jnp.float32).reshape(b, H * W, 1), inds
+                    iou_p.reshape(b, H * W, 1), t_inds
                 )[..., 0]
-                # IouLoss (loss_utils.py:651-676): target = 2*IoU3D - 1, stop-grad boxes
+                # IouLoss (loss_utils.py:651-676): target = 2*IoU3D-1, stop-grad boxes
                 iou_tgt = geometry.boxes_aligned_iou3d(
-                    jax.lax.stop_gradient(box_at.reshape(-1, 7)), gt7.reshape(-1, 7)
+                    jax.lax.stop_gradient(box_at.reshape(-1, 7)), t_gt7.reshape(-1, 7)
                 ).reshape(b, -1)
                 iou_tgt = 2.0 * iou_tgt - 1.0
                 iou_loss = jnp.sum(jnp.abs(iou_pred_at - iou_tgt) * mask) / (nmask + 1e-4)
                 iou_loss = jnp.where(nmask == 0, 0.0, iou_loss)
-                total = total + iou_loss
-                tb[f"iou_loss_head_{h}"] = iou_loss
-
             if iou_reg:
                 # IouRegLoss DIoU (loss_utils.py:677-703)
                 diou = geometry.bbox3d_overlaps_diou(
-                    box_at.reshape(-1, 7), gt7.reshape(-1, 7)
+                    box_at.reshape(-1, 7), t_gt7.reshape(-1, 7)
                 ).reshape(b, -1)
                 iou_reg_loss = jnp.sum((1.0 - diou) * mask) / (nmask + 1e-4)
                 iou_reg_loss = jnp.where(nmask == 0, 0.0, iou_reg_loss)
-                total = total + loc_weight * iou_reg_loss
-                tb[f"iou_reg_loss_head_{h}"] = iou_reg_loss
+        return hm_loss, loc_loss, iou_loss, iou_reg_loss
 
-    tb["rpn_loss"] = total
+    hm_l, loc_l, iou_l, ioureg_l = jax.vmap(one_head)(
+        hm_p, reg_map,
+        iou_p if iou_p is not None else jnp.zeros_like(hm_p[..., :1]),
+        box_parts, t_hm, t_boxes, t_inds, t_masks, t_gt7, cls_valid,
+    )
+    total = jnp.sum(hm_l + loc_l) + jnp.sum(iou_l) + loc_weight * jnp.sum(ioureg_l)
+    tb = {"rpn_loss": total}
+    for h in range(spec.num_heads):
+        tb[f"hm_loss_head_{h}"] = hm_l[h]
+        tb[f"loc_loss_head_{h}"] = loc_l[h]
+        if with_iou:
+            tb[f"iou_loss_head_{h}"] = iou_l[h]
+        if iou_reg:
+            tb[f"iou_reg_loss_head_{h}"] = ioureg_l[h]
     return total, tb
 
 
