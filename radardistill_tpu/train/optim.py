@@ -56,19 +56,17 @@ def one_cycle_mom(total_steps: int, moms: Sequence[float], pct_start: float):
 
 
 def freeze_mask(params, frozen_scopes):
-    """True (=trainable) mask pytree; frozen top-level scopes get False."""
+    """True (=trainable) mask pytree; frozen top-level scopes get False.
+
+    Note: frozen params already receive exactly-zero grads (detector
+    stop_gradient), so Adam moments stay zero; the mask exists to cancel the
+    decoupled weight decay, which AdamW would otherwise apply to them."""
     import jax
 
-    def mark(path_and_leaf):
-        return True
-
-    def top_scope_mask(tree):
-        return {
-            k: jax.tree.map(lambda _: k not in frozen_scopes, v)
-            for k, v in tree.items()
-        }
-
-    return top_scope_mask(params)
+    return {
+        k: jax.tree.map(lambda _: k not in frozen_scopes, v)
+        for k, v in params.items()
+    }
 
 
 def build_optimizer(optim_cfg, params, total_steps: int, frozen_scopes=()):

@@ -1,0 +1,109 @@
+"""Per-stage TPU micro-bench: times VFE / backbone / CMA / neck / head /
+targets / NMS separately at the full grid to direct kernel optimization.
+
+Usage: python tools/stage_bench.py [grid] [batch]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def timeit(fn, *args, n=10):
+    out = fn(*args)
+    import jax
+
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    grid = int(sys.argv[1]) if len(sys.argv) > 1 else 1440
+    bs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+
+    from radardistill_tpu.models.backbone_sparse2d import PillarRes18BackBone8x
+    from radardistill_tpu.models.bev_backbone import BaseBEVBackboneV2
+    from radardistill_tpu.models.center_head import CenterHead, HeadSpec, assign_targets, decode_and_nms
+    from radardistill_tpu.models.distill import CMAHourglass
+    from radardistill_tpu.models.vfe import DynamicPillarVFESimple2D
+    from radardistill_tpu.utils.testing import CLASS_NAMES, HEADS_GROUPS
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    dt = jnp.bfloat16
+    H = W = grid
+    h8 = grid // 8
+
+    # VFE
+    n_pts = 160_000
+    pts = jnp.asarray(rng.uniform(-50, 50, (bs, n_pts, 5)).astype(np.float32))
+    pmask = jnp.ones((bs, n_pts), bool)
+    vfe = DynamicPillarVFESimple2D(
+        num_filters=(32,), voxel_size=(0.075, 0.075, 8.0),
+        point_cloud_range=(-54, -54, -5, 54, 54, 3), grid_size=(grid, grid),
+    )
+    vvars = vfe.init(key, pts, pmask, False)
+    f_vfe = jax.jit(lambda v, p, m: vfe.apply(v, p, m, False))
+    print(f"vfe({n_pts} pts):        {timeit(f_vfe, vvars, pts, pmask):8.2f} ms")
+
+    bev, mask = f_vfe(vvars, pts, pmask)
+    bev = bev.astype(dt)
+
+    # backbone
+    bb = PillarRes18BackBone8x(dtype=dt)
+    bvars = bb.init(key, bev, mask, False)
+    f_bb = jax.jit(lambda v, x, m: bb.apply(v, x, m, False))
+    print(f"sparse_backbone:      {timeit(f_bb, bvars, bev, mask):8.2f} ms")
+    ms = f_bb(bvars, bev, mask)
+
+    # CMA
+    cma = CMAHourglass(dtype=dt)
+    cvars = cma.init(key, ms["x_conv4"], False)
+    f_cma = jax.jit(lambda v, x: cma.apply(v, x, False))
+    print(f"cma_hourglass:        {timeit(f_cma, cvars, ms['x_conv4']):8.2f} ms")
+
+    # neck
+    neck = BaseBEVBackboneV2(dtype=dt)
+    nvars = neck.init(key, ms["x_conv4"], ms["x_conv5"], False)
+    f_neck = jax.jit(lambda v, a, b: neck.apply(v, a, b, False))
+    print(f"bev_neck:             {timeit(f_neck, nvars, ms['x_conv4'], ms['x_conv5']):8.2f} ms")
+    sp2d, _ = f_neck(nvars, ms["x_conv4"], ms["x_conv5"])
+
+    # head
+    spec = HeadSpec(HEADS_GROUPS, CLASS_NAMES)
+    head = CenterHead(spec=spec, dtype=dt)
+    hvars = head.init(key, sp2d, False)
+    f_head = jax.jit(lambda v, x: head.apply(v, x, False))
+    print(f"center_head:          {timeit(f_head, hvars, sp2d):8.2f} ms")
+    preds = f_head(hvars, sp2d)
+
+    # target assignment
+    boxes = np.zeros((bs, 500, 10), np.float32)
+    boxes[:, :60, 0:2] = rng.uniform(-50, 50, (bs, 60, 2))
+    boxes[:, :60, 3:6] = rng.uniform(1, 5, (bs, 60, 3))
+    boxes[:, :60, 9] = rng.randint(1, 11, (bs, 60))
+    gt = jnp.asarray(boxes)
+    f_tgt = jax.jit(lambda g: assign_targets(
+        g, spec, (h8, h8), 8, (0.075, 0.075, 8.0), (-54, -54, -5, 54, 54, 3)))
+    print(f"target_assign:        {timeit(f_tgt, gt):8.2f} ms")
+
+    # decode + NMS
+    f_dec = jax.jit(lambda p: decode_and_nms(
+        p, spec, (h8, h8), 8, (0.075, 0.075, 8.0), (-54, -54, -5, 54, 54, 3),
+        [-61.2, -61.2, -10, 61.2, 61.2, 10]))
+    print(f"decode_nms:           {timeit(f_dec, preds):8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
