@@ -72,7 +72,9 @@ class DataAugmentor:
             return data_dict
         rng = self._rng(data_dict)
         for axis in config["ALONG_AXIS_LIST"]:
-            if rng.choice([False, True]):
+            skip = rng.choice([False, True])
+            data_dict[f"flip_{'y' if axis == 'x' else 'x'}"] = not skip
+            if skip:
                 continue
             boxes = data_dict["gt_boxes"]
             if axis == "x":  # flip y (augmentor_utils.random_flip_along_x)
@@ -149,6 +151,7 @@ class DataAugmentor:
             if key in data_dict:
                 data_dict[key][:, :3] += t
         data_dict["gt_boxes"][:, :3] += t
+        data_dict["noise_translate"] = t
         return data_dict
 
     random_world_translation = random_world_translation_distill

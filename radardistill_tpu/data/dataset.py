@@ -84,6 +84,26 @@ class DatasetTemplate:
 
     # --- pipeline -----------------------------------------------------------
 
+    @staticmethod
+    def set_lidar_aug_matrix(data_dict):
+        """Record the composed augmentation as a 4x4 matrix so original
+        coordinates are recoverable (dataset_distill.py:134-156)."""
+        m = np.eye(4)
+        if data_dict.get("flip_x"):
+            m[:3, :3] = np.diag([1, -1, 1]) @ m[:3, :3]
+        if data_dict.get("flip_y"):
+            m[:3, :3] = np.diag([-1, 1, 1]) @ m[:3, :3]
+        if "noise_rot" in data_dict:
+            a = data_dict["noise_rot"]
+            rot = np.array([[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+            m[:3, :3] = rot @ m[:3, :3]
+        if "noise_scale" in data_dict:
+            m[:3, :3] *= data_dict["noise_scale"]
+        if "noise_translate" in data_dict:
+            m[:3, 3] = np.asarray(data_dict["noise_translate"]).reshape(3)
+        data_dict["lidar_aug_matrix"] = m
+        return data_dict
+
     def prepare_data(self, data_dict, _depth=0):
         """dataset_distill.py:158-218 minus the torch/voxelization bits."""
         if self.training:
@@ -94,6 +114,8 @@ class DatasetTemplate:
             data_dict["gt_boxes_mask"] = gt_boxes_mask
             if self.data_augmentor is not None:
                 data_dict = self.data_augmentor(data_dict)
+
+        self.set_lidar_aug_matrix(data_dict)
 
         if data_dict.get("gt_boxes", None) is not None:
             sel = np.array([n in self.class_names for n in data_dict["gt_names"]], bool)

@@ -1,0 +1,86 @@
+"""Single-scene overfit check — the reference's `_single` pkl smoke
+(SURVEY.md §4.3) as an executable correctness gate: train the full distill
+graph on ONE synthetic scene and verify detections converge onto the GT
+(internal center-distance AP rises).
+
+Usage: python tools/overfit_check.py [steps] [grid]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    grid = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+
+    import jax
+    import jax.numpy as jnp
+
+    from radardistill_tpu.config import ConfigDict
+    from radardistill_tpu.data.collate import collate_batch
+    from radardistill_tpu.data.synthetic import make_scene
+    from radardistill_tpu.data.nuscenes.eval_bridge import center_distance_ap
+    from radardistill_tpu.models import build_network
+    from radardistill_tpu.train.optim import build_optimizer
+    from radardistill_tpu.train.train_step import create_train_state, make_eval_step, make_train_step
+    from radardistill_tpu.utils.testing import CLASS_NAMES, make_model_cfg
+
+    cfg, info = make_model_cfg(grid=grid, num_max_objs=64, k_per_head=128, nms_post=32)
+    # unfreeze the teacher so it can learn the scene too (it starts random)
+    cfg.FREEZE_PIPELINE = []
+    model = build_network(cfg, info, compute_dtype=jnp.bfloat16)
+
+    caps = {"MAX_LIDAR_POINTS": 8192, "MAX_RADAR_POINTS": 1024, "NUM_MAX_OBJS": 64}
+    scene = make_scene(0, num_lidar=6000, num_radar=900, num_boxes=8,
+                       pc_range=info["point_cloud_range"])
+    b = collate_batch([scene], caps)
+    b.pop("_host", None)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+
+    optim_cfg = ConfigDict(
+        OPTIMIZER="adam_onecycle", LR=1e-3, WEIGHT_DECAY=0.01, MOMS=[0.95, 0.85],
+        PCT_START=0.4, DIV_FACTOR=10, GRAD_NORM_CLIP=10,
+    )
+    tx, _ = build_optimizer(optim_cfg, None, total_steps=steps)
+    state = create_train_state(model, tx, batch)
+    step = jax.jit(make_train_step(model, tx, cfg, CLASS_NAMES,
+                                   info["voxel_size"], info["point_cloud_range"]),
+                   donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(model))
+
+    def ap_now(state):
+        out = eval_step(state.params, state.batch_stats, batch)
+        fb = jax.tree.map(np.asarray, out["final_box_dicts"])
+        v = fb["valid"][0]
+        det_names = np.array([CLASS_NAMES[int(l) - 1] for l in fb["labels"][0][v]])
+        gt_names = np.array([CLASS_NAMES[int(c) - 1] for c in scene["gt_boxes"][:, 9]])
+        aps = center_distance_ap(
+            [scene["gt_boxes"]], [gt_names],
+            [fb["boxes"][0][v]], [fb["scores"][0][v]], [det_names], CLASS_NAMES,
+        )
+        vals = [np.mean(list(x.values())) for x in aps.values()]
+        return float(np.mean(vals)) if vals else 0.0
+
+    t0 = time.time()
+    losses = []
+    for i in range(steps):
+        state, m = step(state, batch)
+        if i % 50 == 0 or i == steps - 1:
+            loss = float(m["loss"])
+            losses.append(loss)
+            print(f"step {i}: loss {loss:.3f} ({time.time()-t0:.0f}s)")
+    ap = ap_now(state)
+    print(f"final mAP on the overfit scene: {ap:.3f}; loss {losses[0]:.1f} -> {losses[-1]:.1f}")
+    assert losses[-1] < losses[0] * 0.5, "loss did not drop enough"
+    assert ap > 0.25, f"overfit AP too low: {ap}"
+    print("OVERFIT CHECK PASSED")
+
+
+if __name__ == "__main__":
+    main()
