@@ -26,8 +26,9 @@ class DataProcessor:
         self.voxel_size = None
         self.data_processor_queue = []
         for cfg in processor_configs:
-            if cfg["NAME"] == "transform_points_to_voxels_placeholder":
-                self.transform_points_to_voxels_placeholder(config=cfg)
+            if cfg["NAME"] in ("transform_points_to_voxels_placeholder",
+                               "transform_points_to_voxels"):
+                getattr(self, cfg["NAME"])(config=cfg)  # fixes grid/voxel size
             self.data_processor_queue.append(
                 partial(getattr(self, cfg["NAME"]), config=cfg)
             )
@@ -74,6 +75,49 @@ class DataProcessor:
             grid = (self.point_cloud_range[3:6] - self.point_cloud_range[0:3]) / self.voxel_size
             self.grid_size = np.round(grid).astype(np.int64)
             return
+        return data_dict
+
+    def transform_points_to_voxels(self, data_dict=None, config=None):
+        """Full fixed-size voxelization (data_processor.py:142-229) — numpy
+        replacement of the spconv Point2VoxelCPU3d generator. The RadarDistill
+        path never uses it (the VFE is dynamic); provided for the config
+        surface of fixed-pillar models (PillarVFE)."""
+        if data_dict is None and config is not None:
+            self.voxel_size = np.asarray(config["VOXEL_SIZE"], np.float32)
+            grid = (self.point_cloud_range[3:6] - self.point_cloud_range[0:3]) / self.voxel_size
+            self.grid_size = np.round(grid).astype(np.int64)
+            return
+        max_pts = config["MAX_POINTS_PER_VOXEL"]
+        max_vox = config["MAX_NUMBER_OF_VOXELS"]["train" if self.training else "test"]
+
+        def voxelize(points):
+            coords = np.floor(
+                (points[:, :3] - self.point_cloud_range[:3]) / self.voxel_size
+            ).astype(np.int32)
+            ok = np.all((coords >= 0) & (coords < self.grid_size), axis=1)
+            points, coords = points[ok], coords[ok]
+            key = (coords[:, 2] * self.grid_size[1] + coords[:, 1]) * self.grid_size[0] + coords[:, 0]
+            order = np.argsort(key, kind="stable")
+            key, points, coords = key[order], points[order], coords[order]
+            uniq, starts, counts = np.unique(key, return_index=True, return_counts=True)
+            n_vox = min(len(uniq), max_vox)
+            voxels = np.zeros((n_vox, max_pts, points.shape[1]), points.dtype)
+            vox_num = np.zeros(n_vox, np.int32)
+            vox_coords = np.zeros((n_vox, 3), np.int32)
+            for i in range(n_vox):
+                n = min(counts[i], max_pts)
+                voxels[i, :n] = points[starts[i] : starts[i] + n]
+                vox_num[i] = n
+                c = coords[starts[i]]
+                vox_coords[i] = (c[2], c[1], c[0])  # (z, y, x) pcdet order
+            return voxels, vox_coords, vox_num
+
+        if "points" in data_dict:
+            v, c, n = voxelize(data_dict["points"])
+            data_dict.update(voxels=v, voxel_coords=c, voxel_num_points=n)
+        if "radar_points" in data_dict:
+            v, c, n = voxelize(data_dict["radar_points"])
+            data_dict.update(radar_voxels=v, radar_voxel_coords=c, radar_voxel_num_points=n)
         return data_dict
 
     def sample_points(self, data_dict=None, config=None):

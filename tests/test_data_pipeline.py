@@ -108,6 +108,31 @@ def test_collate_padding_and_overflow():
     assert batch["gt_boxes"].shape == (2, 4, 10)
 
 
+def test_transform_points_to_voxels_fixed_size():
+    proc = DataProcessor(
+        [{"NAME": "transform_points_to_voxels", "VOXEL_SIZE": [0.5, 0.5, 1.0],
+          "MAX_POINTS_PER_VOXEL": 3,
+          "MAX_NUMBER_OF_VOXELS": {"train": 100, "test": 100}}],
+        point_cloud_range=[-4, -4, -2, 4, 4, 2],
+        training=True,
+    )
+    np.testing.assert_array_equal(proc.grid_size, [16, 16, 4])
+    pts = np.array([
+        [0.1, 0.1, 0.0, 1.0, 0.0],
+        [0.2, 0.2, 0.1, 2.0, 0.0],   # same voxel as above
+        [0.3, 0.1, 0.2, 3.0, 0.0],   # same voxel
+        [0.4, 0.3, 0.3, 4.0, 0.0],   # same voxel -> truncated (max 3)
+        [-2.0, -2.0, 0.0, 5.0, 0.0],  # different voxel
+        [9.0, 9.0, 0.0, 6.0, 0.0],   # out of range
+    ], np.float32)
+    d = proc({"points": pts, "gt_boxes": np.zeros((0, 9)), "gt_names": np.array([])})
+    assert d["voxels"].shape[1:] == (3, 5)
+    assert d["voxel_num_points"].tolist().count(3) == 1  # truncated voxel
+    assert len(d["voxels"]) == 2
+    # coords are (z, y, x)
+    assert d["voxel_coords"].shape[1] == 3
+
+
 def test_sampler_rejects_overlapping_candidates(tmp_path):
     from radardistill_tpu.data.sampler import DataBaseSampler
     import pickle
