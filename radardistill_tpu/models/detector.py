@@ -45,10 +45,16 @@ VFE_REGISTRY = {
     "RADAR_MeanVFE": MeanVFE,
     "DynamicMeanVFE": MeanVFE,
 }
+from .backbone_tile_sparse import PillarRes18BackBone8xTileSparse  # noqa: E402
+
 BACKBONE3D_REGISTRY = {
     "PillarRes18BackBone8x": PillarRes18BackBone8x,
     "Radar_PillarRes18BackBone8x": PillarRes18BackBone8x,
     "PillarBackBone8x": PillarBackBone8x,
+    # block-sparse variant: compute only on active 32² tiles (radar branch /
+    # inference win; numerics identical given sufficient MAX_TILES)
+    "PillarRes18BackBone8x_TileSparse": PillarRes18BackBone8xTileSparse,
+    "Radar_PillarRes18BackBone8x_TileSparse": PillarRes18BackBone8xTileSparse,
 }
 NECK_REGISTRY = {
     "BaseBEVBackboneV2": BaseBEVBackboneV2,
@@ -146,9 +152,12 @@ class PillarNet(nn.Module):
 
         def make_backbone(sub):
             cls = BACKBONE3D_REGISTRY[sub.get("NAME", "PillarRes18BackBone8x")]
+            kwargs = {}
+            if cls is PillarRes18BackBone8xTileSparse:
+                kwargs = dict(tile=sub.get("TILE", 32), max_tiles=sub.get("MAX_TILES", 512))
             if self.remat:
                 cls = nn.remat(cls, static_argnums=(3,))
-            return cls(dtype=dt)
+            return cls(dtype=dt, **kwargs)
 
         def make_neck(sub):
             cls = NECK_REGISTRY[sub.get("NAME", "BaseBEVBackboneV2")]
