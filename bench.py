@@ -17,6 +17,19 @@ import time
 
 os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
 
+
+def _enable_compile_cache():
+    """Remote (axon) compiles of the full train step take ~20 min cold; the
+    persistent cache makes driver re-runs fast on this machine. (jax is
+    already imported by sitecustomize, so set via config, not env.)"""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_tpu_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 
 
@@ -67,6 +80,7 @@ def infer_bench():
 
 
 def main():
+    _enable_compile_cache()
     if os.environ.get("BENCH_MODE") == "infer":
         return infer_bench()
     import jax
@@ -119,13 +133,16 @@ def main():
     state, m = step(state, batch)  # compile + 1 step
     jax.block_until_ready(m["loss"])
 
-    t0 = time.perf_counter()
+    # per-step hard sync: defensible step time (no async pipelining credit)
+    times = []
     for _ in range(steps):
+        t0 = time.perf_counter()
         state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+        jax.block_until_ready(m["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
-    sps = batch_size * steps / dt
+    sps = batch_size / dt
     print(json.dumps({
         "metric": "distill_train_samples_per_sec_per_chip",
         "value": round(sps, 3),
