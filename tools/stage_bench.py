@@ -13,24 +13,39 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def timeit(fn, *args, n=10):
-    out = fn(*args)
+def timeit(fn, *args, n=5):
+    """Per-call hard sync — the axon tunnel mis-reports pipelined async
+    chains (see CLAUDE.md), so block every call."""
     import jax
+    import numpy as np
 
+    out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(n):
+        t0 = time.perf_counter()
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1e3
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent / ".jax_tpu_cache"),
+    )
+
     grid = int(sys.argv[1]) if len(sys.argv) > 1 else 1440
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+
+    # round-trip overhead floor of the tunnel
+    f_nop = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros((8, 128))
+    print(f"call overhead (nop):  {timeit(f_nop, z):8.2f} ms")
 
     from radardistill_tpu.models.backbone_sparse2d import PillarRes18BackBone8x
     from radardistill_tpu.models.bev_backbone import BaseBEVBackboneV2
