@@ -63,12 +63,12 @@ def infer_bench():
         return model.apply(variables, batch, False)["final_box_dicts"]
 
     out = fwd(variables, batch)
-    jax.block_until_ready(out)
+    _ = float(out["scores"].sum())
     times = []
     for _ in range(20):
         t0 = time.perf_counter()
         out = fwd(variables, batch)
-        jax.block_until_ready(out)
+        _ = float(out["scores"].sum())  # real sync (axon quirk)
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times) * 1e3)
     print(json.dumps({
@@ -133,12 +133,13 @@ def main():
     state, m = step(state, batch)  # compile + 1 step
     jax.block_until_ready(m["loss"])
 
-    # per-step hard sync: defensible step time (no async pipelining credit)
+    # per-step hard sync via host readback: on the axon tunnel,
+    # block_until_ready does NOT synchronize — float() does (CLAUDE.md)
     times = []
     for _ in range(steps):
         t0 = time.perf_counter()
         state, m = step(state, batch)
-        jax.block_until_ready(m["loss"])
+        _ = float(m["loss"])
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
