@@ -12,7 +12,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")

@@ -51,8 +51,11 @@ def compute_training_loss(model_cfg, out: Dict[str, Any], class_names, voxel_siz
       DISTILL: False  -> radar head loss only
     """
     distill_flag = model_cfg.get("DISTILL", None)
-    use_radar = "RADAR_DENSE_HEAD" in model_cfg and distill_flag is not None or (
-        "RADAR_DENSE_HEAD" in model_cfg and "DENSE_HEAD" not in model_cfg
+    # the radar head carries the supervised loss whenever a radar branch is
+    # trained (distill or student-only); DISTILL absent + teacher-only config
+    # -> plain teacher head loss (pillarnet.py:35-41)
+    use_radar = "RADAR_DENSE_HEAD" in model_cfg and (
+        distill_flag is not None or "DENSE_HEAD" not in model_cfg
     )
     head_cfg = model_cfg.RADAR_DENSE_HEAD if use_radar else model_cfg.DENSE_HEAD
     spec = HeadSpec(head_cfg.CLASS_NAMES_EACH_HEAD, class_names)

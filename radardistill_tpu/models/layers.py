@@ -17,7 +17,7 @@ Torch-compatibility notes (these pin the numerics contract to the reference):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

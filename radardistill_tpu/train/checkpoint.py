@@ -18,9 +18,8 @@ from __future__ import annotations
 import re
 import shutil
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

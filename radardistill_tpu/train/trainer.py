@@ -12,11 +12,9 @@ is pure orchestration: data iteration, hooks, logging, checkpoints.
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
-import numpy as np
-
 from ..utils.common import AverageMeter
 from .checkpoint import CheckpointManager
 

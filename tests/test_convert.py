@@ -8,7 +8,6 @@ from pathlib import Path
 
 import numpy as np
 import jax
-import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 

@@ -2,11 +2,8 @@
 processor masking, collate padding, sampler collision logic."""
 
 import numpy as np
-import pytest
-
-from radardistill_tpu.config import ConfigDict
 from radardistill_tpu.data.augmentor import DataAugmentor
-from radardistill_tpu.data.collate import collate_batch, pad_points
+from radardistill_tpu.data.collate import collate_batch
 from radardistill_tpu.data.processor import DataProcessor
 from radardistill_tpu.data import box_np
 

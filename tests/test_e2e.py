@@ -9,7 +9,7 @@ import pytest
 
 from radardistill_tpu.data.collate import collate_batch
 from radardistill_tpu.data.synthetic import make_scene
-from radardistill_tpu.models import build_network, compute_training_loss
+from radardistill_tpu.models import build_network
 from radardistill_tpu.train.optim import build_optimizer
 from radardistill_tpu.train.train_step import create_train_state, make_train_step, make_eval_step
 from radardistill_tpu.utils.testing import CLASS_NAMES, make_model_cfg

@@ -1,7 +1,5 @@
 import numpy as np
 import jax.numpy as jnp
-import pytest
-
 from radardistill_tpu.ops import geometry
 from tests import reference_impls as ref
 

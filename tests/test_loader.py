@@ -3,7 +3,7 @@
 import numpy as np
 
 from radardistill_tpu.config import ConfigDict
-from radardistill_tpu.data.loader import DataLoader, build_dataloader
+from radardistill_tpu.data.loader import build_dataloader
 
 SMOKE_DATA_CFG = ConfigDict(
     DATASET="SyntheticDataset",

@@ -5,7 +5,6 @@ the property DDP gets by construction and the reference never tests
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from radardistill_tpu.config import ConfigDict
@@ -14,7 +13,7 @@ from radardistill_tpu.parallel.mesh import make_mesh
 from radardistill_tpu.train.optim import build_optimizer
 from radardistill_tpu.train.train_step import create_train_state, make_train_step
 from radardistill_tpu.utils.testing import CLASS_NAMES, make_model_cfg
-from tests.test_e2e import make_batch, CAPS, GRID
+from tests.test_e2e import make_batch, GRID
 
 
 def test_dp_matches_single_device():
