@@ -152,11 +152,16 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
 
         if train:
+            # single-pass statistics (Σx, Σx²) — one fewer full-tensor
+            # traversal than the (x-mean)² form; f32 accumulation
             m = mask.astype(jnp.float32)[..., None]
             n = jnp.clip(jnp.sum(m), 1.0)
             xf = x.astype(jnp.float32)
-            mean = jnp.sum(xf * m, axis=tuple(range(x.ndim - 1))) / n
-            var = jnp.sum(((xf - mean) ** 2) * m, axis=tuple(range(x.ndim - 1))) / n
+            axes = tuple(range(x.ndim - 1))
+            s1 = jnp.sum(xf * m, axis=axes)
+            s2 = jnp.sum(xf * xf * m, axis=axes)
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
             if not self.is_initializing():
                 # torch updates running_var with the *unbiased* batch variance
                 unbiased = var * n / jnp.clip(n - 1.0, 1.0)
