@@ -200,6 +200,86 @@ class DynamicPillarVFE(DynamicPillarVFESimple2D):
         return jnp.where(valid[..., None], out, 0.0)
 
 
+class PillarVFE(nn.Module):
+    """Fixed-size pillar VFE (vfe/pillar_vfe.py PillarVFE): consumes the
+    `transform_points_to_voxels` output — voxels (B, V, P, F) with
+    voxel_num_points and (z, y, x) coords — augments per-point features with
+    cluster-mean and center offsets, runs PFN layers with a max over the P
+    points, and scatters pillar features to the dense grid.
+
+    The RadarDistill path uses the dynamic VFE instead; this exists for the
+    fixed-pillar model family (PointPillars-style configs)."""
+
+    num_filters: Sequence[int]
+    voxel_size: Sequence[float]
+    point_cloud_range: Sequence[float]
+    grid_size: Tuple[int, int]
+    use_norm: bool = True
+    with_distance: bool = False
+    use_absolute_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, voxels, voxel_num_points, voxel_coords, train: bool):
+        """voxels: (B, V, P, F); voxel_num_points: (B, V);
+        voxel_coords: (B, V, 3) int (z, y, x), -1 rows = padding.
+        Returns (bev (B, H, W, C), pillar_mask)."""
+        b, v, p, f = voxels.shape
+        vx, vy, vz = self.voxel_size[:3]
+        x0, y0, z0 = self.point_cloud_range[:3]
+
+        pt_idx = jnp.arange(p)[None, None, :]
+        pmask = pt_idx < voxel_num_points[..., None]  # (B, V, P)
+        vmask = voxel_coords[..., 0] >= 0  # (B, V)
+        pmask = pmask & vmask[..., None]
+
+        xyz = voxels[..., :3]
+        n = jnp.clip(voxel_num_points[..., None, None].astype(jnp.float32), 1.0)
+        mean = jnp.sum(xyz * pmask[..., None], axis=2, keepdims=True) / n
+        f_cluster = xyz - mean
+
+        cx = (voxel_coords[..., 2:3].astype(jnp.float32) * vx + vx / 2 + x0)[..., None, :]
+        cy = (voxel_coords[..., 1:2].astype(jnp.float32) * vy + vy / 2 + y0)[..., None, :]
+        cz = (voxel_coords[..., 0:1].astype(jnp.float32) * vz + vz / 2 + z0)[..., None, :]
+        f_center = jnp.concatenate(
+            [xyz[..., 0:1] - cx, xyz[..., 1:2] - cy, xyz[..., 2:3] - cz], axis=-1
+        )
+
+        feats = [voxels if self.use_absolute_xyz else voxels[..., 3:], f_cluster, f_center]
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+        x = jnp.concatenate(feats, axis=-1)
+        x = jnp.where(pmask[..., None], x, 0.0)
+
+        n_layers = len(self.num_filters)
+        for i, out_ch in enumerate(self.num_filters):
+            last = i >= n_layers - 1
+            ch = out_ch if last else out_ch // 2
+            y = nn.Dense(ch, use_bias=not self.use_norm, name=f"pfn_{i}_linear")(x)
+            if self.use_norm:
+                y = MaskedBatchNorm(name=f"pfn_{i}_norm")(y, pmask, train)
+            y = nn.relu(y)
+            y = jnp.where(pmask[..., None], y, -jnp.inf)
+            y_max = jnp.max(y, axis=2, keepdims=True)  # (B, V, 1, C)
+            y_max = jnp.where(jnp.isneginf(y_max), 0.0, y_max)
+            if last:
+                pillar_feats = y_max[:, :, 0]  # (B, V, C)
+            else:
+                x = jnp.concatenate(
+                    [jnp.where(pmask[..., None], y, 0.0),
+                     jnp.broadcast_to(y_max, y.shape)], axis=-1
+                )
+
+        # scatter pillars to the dense grid (PointPillarScatter)
+        nx, ny = self.grid_size
+        ids = voxel_coords[..., 1] * nx + voxel_coords[..., 2]
+        ids = jnp.where(vmask, ids, nx * ny)
+        bev = jax.vmap(lambda ft, i: voxelize.scatter_max_bev(ft, i, self.grid_size))(
+            jnp.where(vmask[..., None], pillar_feats, -jnp.inf), ids
+        )
+        cnt = jax.vmap(lambda i: voxelize.pillar_count(i, self.grid_size))(ids)
+        return bev, cnt > 0
+
+
 def vfe_input_dim(num_raw_features: int, cfg) -> int:
     """Channel count fed to the first PFN linear, matching
     dynamic_pillar_vfe.py:150-163."""
