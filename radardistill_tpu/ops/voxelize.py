@@ -15,8 +15,6 @@ which reshapes to the dense BEV tensor the backbone consumes. The
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -60,18 +58,14 @@ def pillar_ids(coords_xy, valid, grid_size):
     return jnp.where(valid, ids, nx * ny)
 
 
-@partial(jax.jit, static_argnames=("num_segments",))
-def _seg_max(data, ids, num_segments):
-    return jax.ops.segment_max(data, ids, num_segments=num_segments)
-
-
 def scatter_max_bev(feats, ids, grid_size):
     """Per-sample scatter-max into the dense grid.
 
     Args:
         feats: (N, C) per-point features (padded points allowed; their id must
             be the sentinel).
-        ids: (N,) linear pillar ids in [0, H*W] (H*W = sentinel).
+        ids: (N,) linear pillar ids in [0, H*W] (H*W = sentinel; out-of-range
+            updates are DROPPED by the scatter, no sentinel row materialized).
         grid_size: (nx, ny).
     Returns:
         bev (H, W, C) with empty pillars = 0 (matching scatter_max over an
@@ -79,16 +73,19 @@ def scatter_max_bev(feats, ids, grid_size):
         don't exist in the sparse tensor, i.e. are 0 after `.dense()`).
     """
     nx, ny = grid_size
-    out = _seg_max(feats, ids, num_segments=nx * ny + 1)
+    c = feats.shape[-1]
+    init = jnp.full((nx * ny, c), -jnp.inf, feats.dtype)
+    out = init.at[ids].max(feats, mode="drop")
     out = jnp.where(jnp.isneginf(out), 0.0, out)
-    return out[: nx * ny].reshape(ny, nx, feats.shape[-1])
+    return out.reshape(ny, nx, c)
 
 
 def scatter_sum_bev(feats, ids, grid_size):
     """Per-sample scatter-add into the dense grid -> (H, W, C)."""
     nx, ny = grid_size
-    out = jax.ops.segment_sum(feats, ids, num_segments=nx * ny + 1)
-    return out[: nx * ny].reshape(ny, nx, feats.shape[-1])
+    c = feats.shape[-1]
+    out = jnp.zeros((nx * ny, c), feats.dtype).at[ids].add(feats, mode="drop")
+    return out.reshape(ny, nx, c)
 
 
 def pillar_count(ids, grid_size, dtype=jnp.float32):
@@ -102,11 +99,11 @@ def gather_from_bev(bev, ids):
     """Per-point gather back from the dense grid (the `x_max[unq_inv]` /
     `points_mean[unq_inv]` pattern, dynamic_pillar_vfe.py:226-227, :45).
 
-    bev: (H, W, C); ids: (N,) with sentinel = H*W -> gathers 0 for invalid.
+    bev: (H, W, C); ids: (N,) with sentinel = H*W -> gathers 0 for invalid
+    (fill-mode gather, no sentinel row materialized).
     """
     h, w, c = bev.shape
-    flat = jnp.concatenate([bev.reshape(h * w, c), jnp.zeros((1, c), bev.dtype)], 0)
-    return flat[ids]
+    return bev.reshape(h * w, c).at[ids].get(mode="fill", fill_value=0)
 
 
 def pillar_mean_per_point(points_xyz, ids, grid_size):
