@@ -109,14 +109,12 @@ def build_optimizer(optim_cfg, params, total_steps: int, frozen_scopes=()):
     tx = optax.chain(*chain)
 
     if frozen_scopes:
+        # exclude frozen scopes from the optimizer entirely: no moments, no
+        # decoupled weight decay, no per-step moment traffic for the frozen
+        # teacher (grads are exactly zero via stop_gradient, so the passed-
+        # through update is zero)
         mask = freeze_mask(params, set(frozen_scopes))
-        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), {
-            k: jax_tree_not(v) for k, v in mask.items()
-        }))
+        tx = optax.masked(tx, mask)
     return tx, lr_sched
 
 
-def jax_tree_not(tree):
-    import jax
-
-    return jax.tree.map(lambda b: not b, tree)
