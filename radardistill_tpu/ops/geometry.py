@@ -90,8 +90,8 @@ def _polygon_area(verts: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
     idx = jnp.arange(_MAX_VERTS)
     nxt = (idx + 1) % _MAX_VERTS
     # wrap last valid vertex to vertex 0 instead of slot nxt
-    valid = idx[None, :] < n_valid[..., None]  # (..., 8) with broadcasting
-    is_last = idx[None, :] == (n_valid[..., None] - 1)
+    valid = idx < n_valid[..., None]  # (..., 8) with broadcasting
+    is_last = idx == (n_valid[..., None] - 1)
     x, y = verts[..., 0], verts[..., 1]
     x_n = jnp.where(is_last, x[..., 0:1], jnp.take(x, nxt, axis=-1))
     y_n = jnp.where(is_last, y[..., 0:1], jnp.take(y, nxt, axis=-1))
@@ -99,59 +99,63 @@ def _polygon_area(verts: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * jnp.abs(jnp.sum(jnp.where(valid, cross, 0.0), axis=-1))
 
 
-def _clip_by_halfplane(verts, n_valid, p0, p1):
-    """Clip ring polygon (verts, n_valid) by half-plane left of edge p0->p1.
+def _pair_intersection_area(corners_a: jnp.ndarray, corners_b: jnp.ndarray):
+    """Intersection area of two convex quads given as (4,2) CCW corners."""
+    return _intersection_area_batched(corners_a[None], corners_b[None])[0]
 
-    verts: (8, 2), n_valid: scalar int, p0/p1: (2,). Returns new (8,2), n.
-    Classic Sutherland–Hodgman, executed over all 8 slots unconditionally
-    with masks (static shapes; no data-dependent control flow).
+
+def _clip_halfplane_batched(verts, n_valid, p0, p1):
+    """Sutherland–Hodgman step over arbitrary leading batch dims.
+
+    verts: (..., 8, 2); n_valid: (...,) int32; p0/p1: (..., 2).
+    All ops elementwise/broadcast over the batch dims — no per-pair control
+    flow, so XLA sees one fused batched program (the nested-vmap variant
+    compiled pathologically slowly at NMS sizes).
     """
-    edge = p1 - p0
-    # signed area: >0 means inside (left of edge for CCW clip polygon)
-    d = edge[0] * (verts[:, 1] - p0[1]) - edge[1] * (verts[:, 0] - p0[0])  # (8,)
+    ex = (p1 - p0)[..., None, :]  # (..., 1, 2)
+    d = ex[..., 0] * (verts[..., 1] - p0[..., None, 1]) - ex[..., 1] * (
+        verts[..., 0] - p0[..., None, 0]
+    )  # (..., 8)
     idx = jnp.arange(_MAX_VERTS)
-    is_last = idx == n_valid - 1
-    nxt_d = jnp.where(is_last, d[0], jnp.roll(d, -1))
-    nxt_v = jnp.where(is_last[:, None], verts[0], jnp.roll(verts, -1, axis=0))
-    valid = idx < n_valid
+    is_last = idx == (n_valid[..., None] - 1)
+    nxt_d = jnp.where(is_last, d[..., 0:1], jnp.roll(d, -1, axis=-1))
+    nxt_v = jnp.where(
+        is_last[..., None], verts[..., 0:1, :], jnp.roll(verts, -1, axis=-2)
+    )
+    valid = idx < n_valid[..., None]
 
     inside = d >= 0
     nxt_inside = nxt_d >= 0
-    # intersection of segment v->nxt_v with the edge line
-    t = d / jnp.where(jnp.abs(d - nxt_d) < 1e-12, 1e-12, d - nxt_d)
-    inter = verts + t[:, None] * (nxt_v - verts)
+    denom = d - nxt_d
+    t = d / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    inter = verts + t[..., None] * (nxt_v - verts)
 
-    # Each input edge emits up to 2 vertices:
-    #   emit current vertex if inside; emit intersection if crossing.
     emit_v = inside & valid
     emit_i = (inside != nxt_inside) & valid
-    # Pack: outputs laid out as [v_0, i_0, v_1, i_1, ...] then compacted.
-    out_pts = jnp.stack([verts, inter], axis=1).reshape(-1, 2)  # (16, 2)
-    out_keep = jnp.stack([emit_v, emit_i], axis=1).reshape(-1)  # (16,)
-    # stable front-compaction WITHOUT a sort (sorts of tiny keys batched over
-    # ~10^5 box pairs dominated NMS time on TPU): destination slot =
-    # exclusive prefix count of kept entries; project via one-hot matmul.
-    pos = jnp.cumsum(out_keep) - 1  # (16,) destination for kept entries
-    sel = jax.nn.one_hot(jnp.where(out_keep, pos, _MAX_VERTS), _MAX_VERTS,
-                         dtype=out_pts.dtype)  # (16, 8); dropped -> all-zero row
-    out = sel.T @ out_pts  # (8, 2)
-    n_out = jnp.sum(out_keep).astype(jnp.int32)
-    return out, jnp.minimum(n_out, _MAX_VERTS)
+    out_pts = jnp.stack([verts, inter], axis=-2).reshape(*verts.shape[:-2], 16, 2)
+    out_keep = jnp.stack([emit_v, emit_i], axis=-1).reshape(*d.shape[:-1], 16)
+    # sort-free stable compaction: destination slot = exclusive prefix count
+    pos = jnp.cumsum(out_keep, axis=-1) - 1
+    sel = jax.nn.one_hot(
+        jnp.where(out_keep, pos, _MAX_VERTS), _MAX_VERTS, dtype=out_pts.dtype
+    )  # (..., 16, 8)
+    out = jnp.einsum("...ko,...kc->...oc", sel, out_pts)
+    n_out = jnp.minimum(jnp.sum(out_keep, axis=-1).astype(jnp.int32), _MAX_VERTS)
+    return out, n_out
 
 
-def _pair_intersection_area(corners_a: jnp.ndarray, corners_b: jnp.ndarray):
-    """Intersection area of two convex quads given as (4,2) CCW corners."""
-    verts = jnp.concatenate([corners_a, jnp.zeros((4, 2), corners_a.dtype)], 0)
-    n = jnp.int32(4)
-
-    def body(i, carry):
-        verts, n = carry
-        p0 = corners_b[i]
-        p1 = corners_b[(i + 1) % 4]
-        return _clip_by_halfplane(verts, n, p0, p1)
-
-    verts, n = jax.lax.fori_loop(0, 4, body, (verts, n))
-    return jnp.where(n >= 3, _polygon_area(verts[None], n[None])[0], 0.0)
+def _intersection_area_batched(corners_a, corners_b):
+    """(..., 4, 2) x (..., 4, 2) CCW quads -> (...,) intersection areas."""
+    batch = corners_a.shape[:-2]
+    verts = jnp.concatenate(
+        [corners_a, jnp.zeros(batch + (4, 2), corners_a.dtype)], axis=-2
+    )
+    n = jnp.full(batch, 4, jnp.int32)
+    for e in range(4):
+        p0 = corners_b[..., e, :]
+        p1 = corners_b[..., (e + 1) % 4, :]
+        verts, n = _clip_halfplane_batched(verts, n, p0, p1)
+    return jnp.where(n >= 3, _polygon_area(verts, n), 0.0)
 
 
 def boxes_overlap_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
@@ -161,15 +165,17 @@ def boxes_overlap_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray
     """
     ca = boxes_to_corners_bev(boxes_a)  # (N, 4, 2)
     cb = boxes_to_corners_bev(boxes_b)  # (M, 4, 2)
-    f = jax.vmap(jax.vmap(_pair_intersection_area, (None, 0)), (0, None))
-    return f(ca, cb)
+    n, m = ca.shape[0], cb.shape[0]
+    ca_pairs = jnp.broadcast_to(ca[:, None], (n, m, 4, 2))
+    cb_pairs = jnp.broadcast_to(cb[None, :], (n, m, 4, 2))
+    return _intersection_area_batched(ca_pairs, cb_pairs)
 
 
 def boxes_overlap_bev_aligned(boxes_a, boxes_b):
     """(N, 7) x (N, 7) -> (N,) pairwise rotated BEV intersection areas."""
     ca = boxes_to_corners_bev(boxes_a)
     cb = boxes_to_corners_bev(boxes_b)
-    return jax.vmap(_pair_intersection_area)(ca, cb)
+    return _intersection_area_batched(ca, cb)
 
 
 def boxes_iou_bev(boxes_a, boxes_b):
