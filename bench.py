@@ -123,11 +123,24 @@ def main():
     )
     tx, _ = build_optimizer(optim_cfg, None, total_steps=1000)
     state = create_train_state(model, tx, batch)
-    step = jax.jit(
-        make_train_step(model, tx, cfg, CLASS_NAMES, info["voxel_size"],
-                        info["point_cloud_range"]),
-        donate_argnums=(0,),
-    )
+    step_fn = make_train_step(model, tx, cfg, CLASS_NAMES, info["voxel_size"],
+                              info["point_cloud_range"])
+
+    # BENCH_SCAN=k runs k steps inside ONE device program (lax.scan),
+    # amortizing the tunnel's per-call round-trip tax (~30-60 ms, see
+    # CLAUDE.md) — the defensible estimate of true per-step device time.
+    scan_k = int(os.environ.get("BENCH_SCAN", "1"))
+    if scan_k > 1:
+        def multi_step(state, batch):
+            def body(s, _):
+                s2, m = step_fn(s, batch)
+                return s2, m["loss"]
+            state, losses = jax.lax.scan(body, state, None, length=scan_k)
+            return state, {"loss": losses[-1]}
+
+        step = jax.jit(multi_step, donate_argnums=(0,))
+    else:
+        step = jax.jit(step_fn, donate_argnums=(0,))
 
     state, m = step(state, batch)  # compile + 1 step
     jax.block_until_ready(m["loss"])
@@ -142,7 +155,7 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
-    sps = batch_size / dt
+    sps = batch_size * scan_k / dt
     print(json.dumps({
         "metric": "distill_train_samples_per_sec_per_chip",
         "value": round(sps, 3),
