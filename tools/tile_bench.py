@@ -45,26 +45,37 @@ def main():
     bev_j = jnp.asarray(bev, jnp.bfloat16)
     mask_j = jnp.asarray(mask)
 
-    def timeit(fn, *args, n=10):
-        out = fn(*args)
-        jax.block_until_ready(out)
+    LOOP = 16
+
+    def scanned(fn):
+        """Run fn LOOP times inside one device program (tunnel tax is
+        ~30-60 ms/call — see CLAUDE.md) and return a scalar."""
+        def g(v, x, m):
+            def body(acc, _):
+                out = fn(v, x + acc * 0, m)  # keep loop iterations live
+                return jnp.sum(out.astype(jnp.float32)) * 1e-9, None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=LOOP)
+            return acc
+        return jax.jit(g)
+
+    def timeit(fn, *args, n=4):
+        float(fn(*args))
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
-            out = fn(*args)
-            jax.block_until_ready(out)
+            float(fn(*args))
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts)) * 1e3
+        return float(np.median(ts)) * 1e3 / LOOP
 
     dense = PillarRes18BackBone8x(dtype=jnp.bfloat16)
     dv = dense.init(jax.random.PRNGKey(0), bev_j, mask_j, False)
-    f_d = jax.jit(lambda v, x, m: dense.apply(v, x, m, False)["x_conv5"])
-    print(f"dense backbone:       {timeit(f_d, dv, bev_j, mask_j):8.2f} ms")
+    f_d = scanned(lambda v, x, m: dense.apply(v, x, m, False)["x_conv5"])
+    print(f"dense backbone:       {timeit(f_d, dv, bev_j, mask_j):8.2f} ms/fwd")
 
     tile = PillarRes18BackBone8xTileSparse(dtype=jnp.bfloat16, max_tiles=max_tiles)
     tv = tile.init(jax.random.PRNGKey(0), bev_j, mask_j, False)
-    f_t = jax.jit(lambda v, x, m: tile.apply(v, x, m, False)["x_conv5"])
-    print(f"tile-sparse backbone: {timeit(f_t, tv, bev_j, mask_j):8.2f} ms")
+    f_t = scanned(lambda v, x, m: tile.apply(v, x, m, False)["x_conv5"])
+    print(f"tile-sparse backbone: {timeit(f_t, tv, bev_j, mask_j):8.2f} ms/fwd")
 
 
 if __name__ == "__main__":
