@@ -73,7 +73,11 @@ class TileSparseResStage(nn.Module):
         c = self.features
         dt = self.dtype or x.dtype
         b, h, w, _ = x.shape
-        tile = min(self.tile, h, w)  # late stages may be smaller than a tile
+        # largest tile <= self.tile that divides the map (e.g. 1440 -> 32,
+        # 720 -> 16, 360 -> 24/18/.. -> picks 15? no: largest divisor <= 32)
+        tile = min(self.tile, h, w)
+        while h % tile or w % tile:
+            tile -= 1
 
         act = tile_sparse.tile_activity(mask, tile)
         ids, valid, _ = tile_sparse.select_tiles(act, self.max_tiles)
