@@ -115,11 +115,42 @@ class DataLoader:
             host = batch.pop("_host", None)
             yield batch, host
 
-    def __iter__(self):
+    def _iter_base(self):
         if self.workers > 0:
             yield from self._iter_workers()
         else:
             yield from self._iter_serial()
+
+    def __iter__(self):
+        """Prefetch one batch ahead on a background thread so host-side
+        augmentation/collation overlaps device compute (the reference gets
+        this from torch DataLoader worker prefetching)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        sentinel = object()
+        err = []
+
+        def producer():
+            try:
+                for item in self._iter_base():
+                    q.put(item)
+            except Exception as e:  # surface worker errors on the consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
 
 
 def build_dataloader(

@@ -221,8 +221,15 @@ class PillarNet(nn.Module):
                 )
 
         if self.has_radar:
+            # Radar_DynamicPillarVFESimple2D_Test reads `points` (radar
+            # returns live there in the reference's radar-only eval datasets,
+            # dynamic_pillar_vfe.py:315-373); accept either key
+            if "radar_points" in batch:
+                rpts, rpts_mask = batch["radar_points"], batch["radar_points_mask"]
+            else:
+                rpts, rpts_mask = batch["points"], batch["points_mask"]
             rbev, rmask = self.radar_vfe(
-                batch["radar_points"].astype(dt), batch["radar_points_mask"],
+                rpts.astype(dt), rpts_mask,
                 self._maybe_freeze("radar_vfe", train),
             )
             rms = self.radar_backbone_3d(
