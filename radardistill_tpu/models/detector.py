@@ -61,9 +61,15 @@ NECK_REGISTRY = {
     "BaseBEVBackboneV1": BaseBEVBackboneV1,
     "Radar_Distill": BaseBEVBackboneV2,  # Radar_Distill = CMA + inherited V2 neck
 }
+from .anchor_head import AnchorHeadSingle  # noqa: E402
+
 HEAD_REGISTRY = {
     "CenterHead": CenterHead,
     "Radar_CenterHead": CenterHead,
+    # anchor family (SECOND/PointPillars-style); module + assigner + losses
+    # are implemented and tested (models/anchor_head.py) — full anchor
+    # detector wiring (decode w/ dir correction) is round-2 work
+    "AnchorHeadSingle": AnchorHeadSingle,
 }
 
 # topology slot -> FREEZE_PIPELINE class names of the reference
