@@ -300,6 +300,29 @@ def anchor_head_loss(preds, targets, anchors_flat, num_class, coder,
     return total, tb
 
 
+def limit_period(val, offset=0.5, period=math.pi):
+    """common_utils.limit_period."""
+    return val - jnp.floor(val / period + offset) * period
+
+
+def decode_anchor_predictions(preds, anchors_flat, coder: ResidualCoder,
+                              dir_offset=0.78539, dir_limit_offset=0.0,
+                              num_dir_bins=2):
+    """anchor_head_template.generate_predicted_boxes (:195-230): decode box
+    residuals against the anchors and snap heading to the predicted
+    direction bin. Returns (batch_cls_scores sigmoid (B, A, C),
+    batch_boxes (B, A, 7+))."""
+    cls_scores = jax.nn.sigmoid(preds["cls_preds"])
+    boxes = coder.decode(preds["box_preds"], anchors_flat[None])
+    if "dir_cls_preds" in preds:
+        dir_labels = jnp.argmax(preds["dir_cls_preds"], axis=-1)
+        period = 2 * math.pi / num_dir_bins
+        dir_rot = limit_period(boxes[..., 6] - dir_offset, dir_limit_offset, period)
+        rot = dir_rot + dir_offset + period * dir_labels.astype(boxes.dtype)
+        boxes = boxes.at[..., 6].set(rot)
+    return cls_scores, boxes
+
+
 # ---------------------------------------------------------------------------
 # The head module
 # ---------------------------------------------------------------------------

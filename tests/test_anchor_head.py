@@ -106,6 +106,28 @@ def test_generate_anchors_and_batched_assignment():
     assert np.all(np.asarray(targets["box_cls_labels"][1]) == 0)  # no GT sample
 
 
+def test_decode_anchor_predictions():
+    from radardistill_tpu.models.anchor_head import decode_anchor_predictions
+
+    coder = ResidualCoder()
+    anchors = jnp.asarray(random_boxes(10, seed=6))
+    gt = jnp.asarray(random_boxes(10, seed=7))
+    enc = coder.encode(gt, anchors)
+    preds = {
+        "cls_preds": jnp.zeros((1, 10, 2)),
+        "box_preds": enc[None],
+        # force dir bin = the gt's actual bin so heading reconstructs
+        "dir_cls_preds": jax.nn.one_hot(
+            jnp.clip(jnp.floor(jnp.mod(gt[:, 6] - 0.78539, 2 * np.pi) / np.pi), 0, 1
+                     ).astype(jnp.int32), 2)[None] * 10,
+    }
+    scores, boxes = decode_anchor_predictions(preds, anchors, coder)
+    np.testing.assert_allclose(np.asarray(boxes[0, :, :6]), np.asarray(gt[:, :6]),
+                               rtol=1e-4, atol=1e-4)
+    dh = np.asarray(jnp.mod(boxes[0, :, 6] - gt[:, 6] + np.pi, 2 * np.pi) - np.pi)
+    np.testing.assert_allclose(dh, 0, atol=1e-4)
+
+
 def test_head_module_and_loss():
     rng = np.random.RandomState(0)
     head = AnchorHeadSingle(num_class=2, num_anchors_per_location=4, code_size=7)
