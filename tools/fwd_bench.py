@@ -83,8 +83,10 @@ def main():
         def grad_loop(params, batch_stats, batch):
             def body(a, _):
                 g = jax.grad(loss_fn)(params, batch_stats, batch)
-                leaf = jax.tree.leaves(g)[0]
-                return a * 0.5 + jnp.sum(leaf.astype(jnp.float32)), None
+                # consume EVERY grad leaf or XLA dead-code-eliminates the
+                # unused parts of the backward pass
+                s = sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(g))
+                return a * 0.5 + s, None
             acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=LOOP)
             return acc
 
