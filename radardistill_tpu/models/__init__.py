@@ -18,11 +18,15 @@ from .center_head import (
     flatten_class_channels,
     flatten_target_heatmaps,
 )
+from .anchor_detector import AnchorDetector, anchor_training_loss
 from .detector import PillarNet
 from .distill import distill_loss
 
 DETECTORS = {
     "PillarNet": PillarNet,
+    # anchor family (SECOND/PointPillars-style single-branch detectors)
+    "PointPillar": AnchorDetector,
+    "SECONDNet": AnchorDetector,
 }
 
 
@@ -50,6 +54,13 @@ def compute_training_loss(model_cfg, out: Dict[str, Any], class_names, voxel_siz
       DISTILL: True   -> distill (CMA/AFD/PFD) + radar head loss
       DISTILL: False  -> radar head loss only
     """
+    if model_cfg.NAME in ("PointPillar", "SECONDNet"):
+        grid = (
+            int(round((point_cloud_range[3] - point_cloud_range[0]) / voxel_size[0])),
+            int(round((point_cloud_range[4] - point_cloud_range[1]) / voxel_size[1])),
+        )
+        return anchor_training_loss(model_cfg, out, class_names, grid, point_cloud_range)
+
     distill_flag = model_cfg.get("DISTILL", None)
     # the radar head carries the supervised loss whenever a radar branch is
     # trained (distill or student-only); DISTILL absent + teacher-only config

@@ -66,9 +66,8 @@ from .anchor_head import AnchorHeadSingle  # noqa: E402
 HEAD_REGISTRY = {
     "CenterHead": CenterHead,
     "Radar_CenterHead": CenterHead,
-    # anchor family (SECOND/PointPillars-style); module + assigner + losses
-    # are implemented and tested (models/anchor_head.py) — full anchor
-    # detector wiring (decode w/ dir correction) is round-2 work
+    # anchor family (SECOND/PointPillars-style); full detector wiring lives
+    # in models/anchor_detector.py (DETECTORS: PointPillar / SECONDNet)
     "AnchorHeadSingle": AnchorHeadSingle,
 }
 
