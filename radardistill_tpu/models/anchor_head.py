@@ -264,8 +264,8 @@ def anchor_head_loss(preds, targets, anchors_flat, num_class, coder,
                      cls_weight=1.0, loc_weight=2.0, dir_weight=0.2,
                      code_weights=None, dir_offset=0.78539, num_dir_bins=2):
     """Total anchor-head loss: focal cls + smooth-L1 (sin-diff) + dir CE."""
-    cls_preds = preds["cls_preds"]      # (B, A, num_class)
-    box_preds = preds["box_preds"]      # (B, A, code)
+    cls_preds = preds["cls_preds"].astype(jnp.float32)  # (B, A, num_class)
+    box_preds = preds["box_preds"].astype(jnp.float32)  # (B, A, code)
     labels = targets["box_cls_labels"]  # (B, A)
     reg_t = targets["box_reg_targets"]
 
@@ -291,7 +291,7 @@ def anchor_head_loss(preds, targets, anchors_flat, num_class, coder,
     if "dir_cls_preds" in preds:
         dir_t = get_direction_target(anchors_b, reg_t, dir_offset, num_dir_bins)
         dir_oh = jax.nn.one_hot(dir_t, num_dir_bins)
-        logp = jax.nn.log_softmax(preds["dir_cls_preds"], axis=-1)
+        logp = jax.nn.log_softmax(preds["dir_cls_preds"].astype(jnp.float32), axis=-1)
         dir_loss = -jnp.sum(dir_oh * logp, axis=-1) * reg_w
         dir_loss = jnp.sum(dir_loss) / b * dir_weight
         total = total + dir_loss

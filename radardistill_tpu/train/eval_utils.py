@@ -48,6 +48,7 @@ def eval_one_epoch(
     logger=None,
     thresh_list=(0.3, 0.5, 0.7),
     infer_time: bool = False,
+    similarity_engines=None,
 ):
     """Returns (det_annos, recall_dict, timing)."""
     import jax
@@ -63,6 +64,9 @@ def eval_one_epoch(
         fb = jax.tree.map(np.asarray, out["final_box_dicts"])
         if infer_time:
             t_infer.append(time.perf_counter() - t0)
+
+        for eng in similarity_engines or []:
+            eng.process_batch(out, batch)
 
         annos = dataset.generate_prediction_dicts(host, fb)
         det_annos.extend(annos)

@@ -31,6 +31,11 @@ def parse_config():
     parser.add_argument("--cal_params", action="store_true",
                         help="report exact FLOPs/bytes from XLA cost analysis (thop equivalent)")
     parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument("--bev_similarity", type=str, default=None,
+                        help="comma-separated output-dict key paths to run class-similarity "
+                             "analytics over (e.g. spatial_features_2d,radar_spatial_features_2d)")
+    parser.add_argument("--sim_pooling", type=str, default="center",
+                        choices=["center", "avg", "max"])
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -68,12 +73,26 @@ def eval_ckpt(args, cfg, state, model, test_set, test_loader, logger, output_dir
         for batch, host in test_loader:
             yield {k: jnp.asarray(v) for k, v in batch.items()}, host
 
+    engines = []
+    if args.bev_similarity:
+        from radardistill_tpu.utils.similarity import BEVSimilarityEngine
+        pcr = [float(x) for x in test_set.point_cloud_range]
+        for key_path in args.bev_similarity.split(","):
+            engines.append(BEVSimilarityEngine(
+                key_path.replace(".", "_"), key_path, cfg.CLASS_NAMES, pcr,
+                pooling=args.sim_pooling,
+            ))
+
     det_annos, recall_dict, timing = eval_one_epoch(
         eval_step, state.params, state.batch_stats,
         loader_iter(), test_set, logger,
         thresh_list=cfg.MODEL.POST_PROCESSING.RECALL_THRESH_LIST,
         infer_time=args.infer_time,
+        similarity_engines=engines,
     )
+    for eng in engines:
+        out_dir = eng.save(output_dir)
+        logger.info(f"similarity analytics [{eng.feature_name}] -> {out_dir}")
     if args.infer_time and timing["p50_ms"]:
         logger.info(f"inference p50: {timing['p50_ms']:.1f} ms/batch")
     from radardistill_tpu.parallel.multihost import gather_detections
