@@ -98,6 +98,10 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 10))
 
     cfg, info = make_model_cfg(grid=grid, teacher=True, radar=True, distill=True)
+    if os.environ.get("BENCH_S2D", "0") == "1":
+        # space-to-depth stage-1 backbone (exact same math/params; PERF.md)
+        cfg.BACKBONE_3D.NAME = "PillarRes18BackBone8x_S2D"
+        cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x_S2D"
     model = build_network(
         cfg, info, compute_dtype=jnp.bfloat16,
         remat=os.environ.get("BENCH_REMAT", "1") == "1",

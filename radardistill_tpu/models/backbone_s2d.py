@@ -1,0 +1,333 @@
+"""Space-to-depth variant of the PillarNet sparse encoder.
+
+Motivation (see PERF.md device profile): stage 1 of PillarRes18BackBone8x
+runs at (B, 1440, 1440, 32). C=32 fills only a quarter of the TPU's 128
+vector lanes, so XLA picks T(2,128)-style layouts and spends ~25% of the
+train step copying/relayouting the 265 MB activations, with masked-BN
+reductions crawling at 66 GB/s.
+
+Fix: run stage 1 on a 2×2 space-to-depth packing — (B, 720, 720, 128) with
+channel index = phase*C + c, phase = (y%2)*2 + x%2. Every op is constructed
+to be EXACTLY equivalent to the dense-grid stage (same math, same parameter
+tree — checkpoints interchange freely):
+
+- A 3×3 stride-1 subm conv on the original grid becomes a 3×3 conv on the
+  packed grid whose (4Cin, 4Cout) kernel is assembled from the original
+  (3,3,Cin,Cout) weights: packed tap (Δu, q→p) carries original tap
+  dy = 2Δu + qy − py when |dy| ≤ 1, else zero. Per-original-pixel FLOPs go
+  9C² → 36C², but lane utilization goes 32/128 → 128/128 and the layout
+  churn disappears (the MXU was never the bottleneck here).
+- The stride-2 SparseConv2d consuming stage 1 becomes a 2×2 conv on the
+  packed grid (output grid 720² == packed grid), padding (1,0) per dim:
+  original tap dy = 2Δu + qy, Δu ∈ {−1, 0}.
+- Masked BN statistics are computed per packed channel (a 128-lane
+  reduction) and folded across the 4 phases — numerically the same masked
+  per-original-channel sums; parameters/running stats stay (C,).
+
+Reference semantics: pcdet/models/backbones_3d/spconv_backbone_2d.py
+:208-324 (PillarRes18BackBone8x) — this is a pure performance re-layout of
+models/backbone_sparse2d.py, equivalence-tested against it
+(tests/test_s2d_backbone.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import (
+    BN_EPS_BACKBONE,
+    BN_MOM_BACKBONE,
+    BatchNormTorch,
+    Conv2dTorch,
+    MaskedBatchNorm,
+    conv_kernel_init_torch,
+    max_pool_mask,
+)
+from .backbone_sparse2d import DenseBasicBlock, SparseBasicBlock, SparseDownBlock
+
+
+# ---------------------------------------------------------------------------
+# pack / unpack
+# ---------------------------------------------------------------------------
+
+
+def space_to_depth(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel = ((y%2)*2 + x%2)*C + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x, c):
+    """Inverse of space_to_depth for original channel count c."""
+    b, h2, w2, _ = x.shape
+    x = x.reshape(b, h2, w2, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h2 * 2, w2 * 2, c)
+
+
+def pack_mask(mask):
+    """(B, H, W) occupancy -> (B, H/2, W/2, 4) float (phase-major)."""
+    return space_to_depth(mask[..., None].astype(jnp.float32))
+
+
+def _phase_mask_flat(mask_p, c):
+    """(B, h, w, 4) -> (B, h, w, 4c) per-phase multiplier. Broadcast +
+    reshape (no materialized repeat — XLA fuses it into consumers)."""
+    b, h, w, _ = mask_p.shape
+    m = jnp.broadcast_to(mask_p[..., :, None], (b, h, w, 4, c))
+    return m.reshape(b, h, w, 4 * c)
+
+
+# ---------------------------------------------------------------------------
+# packed kernel assembly (static index maps, traced once; weight tensors are
+# tiny so the 144-slot assembly is negligible next to the convs)
+# ---------------------------------------------------------------------------
+
+
+def pack_subm_kernel(k, cin, cout):
+    """(3,3,Cin,Cout) original kernel -> (3,3,4Cin,4Cout) packed kernel.
+
+    Valid taps: dy = 2Δu + qy − py ∈ {−1,0,1} (and likewise in x)."""
+    kp = jnp.zeros((3, 3, 4 * cin, 4 * cout), k.dtype)
+    for py in range(2):
+        for px in range(2):
+            p = py * 2 + px
+            for qy in range(2):
+                for qx in range(2):
+                    q = qy * 2 + qx
+                    for du in (-1, 0, 1):
+                        dy = 2 * du + qy - py
+                        if abs(dy) > 1:
+                            continue
+                        for dv in (-1, 0, 1):
+                            dx = 2 * dv + qx - px
+                            if abs(dx) > 1:
+                                continue
+                            kp = kp.at[
+                                du + 1, dv + 1,
+                                q * cin:(q + 1) * cin,
+                                p * cout:(p + 1) * cout,
+                            ].set(k[dy + 1, dx + 1])
+    return kp
+
+
+def pack_down_kernel(k, cin, cout):
+    """(3,3,Cin,Cout) stride-2 kernel -> (2,2,4Cin,Cout) packed stride-1
+    kernel (output grid == packed grid; padding (1,0) per dim). Valid taps:
+    dy = 2Δu + qy, kernel index Δu+1, Δu ∈ {−1, 0}."""
+    kp = jnp.zeros((2, 2, 4 * cin, cout), k.dtype)
+    for qy in range(2):
+        for qx in range(2):
+            q = qy * 2 + qx
+            for du in (-1, 0):
+                dy = 2 * du + qy
+                if abs(dy) > 1:
+                    continue
+                for dv in (-1, 0):
+                    dx = 2 * dv + qx
+                    if abs(dx) > 1:
+                        continue
+                    kp = kp.at[du + 1, dv + 1, q * cin:(q + 1) * cin, :].set(
+                        k[dy + 1, dx + 1]
+                    )
+    return kp
+
+
+def _conv(x, kernel, padding):
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# packed modules — parameter trees IDENTICAL to the dense variants
+# ---------------------------------------------------------------------------
+
+
+class _KernelHolder(nn.Module):
+    """Owns the original-layout conv params under the same path nn.Conv
+    would ('<name>/kernel', '<name>/bias') so checkpoints interchange."""
+
+    cin: int
+    cout: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", conv_kernel_init_torch, (3, 3, self.cin, self.cout))
+        b = self.param("bias", nn.initializers.zeros, (self.cout,)) if self.use_bias else None
+        return k, b
+
+
+class _ConvScope(nn.Module):
+    """Extra scope level mirroring Conv2dTorch('x')->nn.Conv('conv')."""
+
+    cin: int
+    cout: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        return _KernelHolder(self.cin, self.cout, self.use_bias, name="conv")()
+
+
+class _PackedSubmConv(nn.Module):
+    """3×3 subm conv on the packed grid; params = original (3,3,Cin,Cout)."""
+
+    cin: int
+    cout: int
+    use_bias: bool
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, b = _KernelHolder(self.cin, self.cout, self.use_bias, name="conv")()
+        dt = self.dtype or x.dtype
+        kp = pack_subm_kernel(k.astype(dt), self.cin, self.cout)
+        y = _conv(x.astype(dt), kp, ((1, 1), (1, 1)))
+        if b is not None:
+            y = y + jnp.tile(b, 4).astype(y.dtype)
+        return y
+
+
+class PackedMaskedBatchNorm(nn.Module):
+    """MaskedBatchNorm on (B,h,w,4C) packed features with (B,h,w,4) packed
+    mask; statistics folded across phases == the dense masked stats.
+    Param/batch_stats layout identical to MaskedBatchNorm ((C,) vectors)."""
+
+    features: int
+    eps: float = BN_EPS_BACKBONE
+    momentum: float = BN_MOM_BACKBONE
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, mask_p, train: bool):
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+
+        if train:
+            mf = _phase_mask_flat(mask_p, c).astype(jnp.float32)
+            xf = x.astype(jnp.float32)
+            n = jnp.clip(jnp.sum(mask_p.astype(jnp.float32)), 1.0)
+            s1 = jnp.sum(xf * mf, axis=(0, 1, 2)).reshape(4, c).sum(0)
+            s2 = jnp.sum(xf * xf * mf, axis=(0, 1, 2)).reshape(4, c).sum(0)
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
+            if not self.is_initializing():
+                unbiased = var * n / jnp.clip(n - 1.0, 1.0)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        mean4 = jnp.tile(mean, 4)
+        inv4 = jnp.tile(jax.lax.rsqrt(var + self.eps) * scale, 4)
+        bias4 = jnp.tile(bias, 4)
+        y = (x - mean4) * inv4 + bias4
+        return y.astype(self.dtype or x.dtype)
+
+
+class S2DBasicBlock(nn.Module):
+    """SparseBasicBlock on the packed grid (param tree == SparseBasicBlock)."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, mask_p, train):
+        c = self.features
+        m = _phase_mask_flat(mask_p, c).astype(x.dtype)
+        y = _PackedSubmConv(c, c, use_bias=True, dtype=self.dtype, name="conv1")(x)
+        y = PackedMaskedBatchNorm(c, dtype=self.dtype, name="bn1")(y, mask_p, train)
+        y = nn.relu(y) * m
+        y = _PackedSubmConv(c, c, use_bias=True, dtype=self.dtype, name="conv2")(y)
+        y = PackedMaskedBatchNorm(c, dtype=self.dtype, name="bn2")(y, mask_p, train)
+        return nn.relu(y + x) * m
+
+
+class S2DDownBlock(nn.Module):
+    """Stride-2 SparseConv2d consuming the packed stage: 2×2 packed conv,
+    emits the UNPACKED next-stage tensor. Param tree == SparseDownBlock."""
+
+    cin: int
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x_packed, mask, train):
+        # mask: ORIGINAL-resolution (B, H, W) occupancy (tiny; bookkeeping
+        # stays at original resolution)
+        new_mask = max_pool_mask(mask, 3, 2, 1)
+        k, _ = _ConvScope(self.cin, self.features, False, name="conv")()
+        dt = self.dtype or x_packed.dtype
+        kp = pack_down_kernel(k.astype(dt), self.cin, self.features)
+        y = _conv(x_packed.astype(dt), kp, ((1, 0), (1, 0)))
+        y = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE,
+                            dtype=self.dtype, name="bn")(y, new_mask, train)
+        y = nn.relu(y)
+        return y * new_mask[..., None].astype(y.dtype), new_mask
+
+
+class PillarRes18BackBone8xS2D(nn.Module):
+    """PillarRes18BackBone8x with stage 1 space-to-depth packed.
+
+    Drop-in replacement: same parameter tree, same outputs (x_conv1 is
+    returned packed as 'x_conv1_packed' unless unpack_outputs=True — it has
+    no consumer in the RadarDistill path and unpacking costs a 265 MB
+    relayout)."""
+
+    dtype: Any = None
+    unpack_outputs: bool = False
+    channels = (32, 64, 128, 256, 256)
+
+    @nn.compact
+    def __call__(self, bev, mask, train: bool) -> Dict[str, jnp.ndarray]:
+        mask_p = pack_mask(mask)
+        x = space_to_depth(bev)
+        x = x * _phase_mask_flat(mask_p, bev.shape[-1]).astype(x.dtype)
+
+        # conv1: two residual blocks at stride 1, packed
+        x = S2DBasicBlock(32, self.dtype, name="conv1_0")(x, mask_p, train)
+        x1p = S2DBasicBlock(32, self.dtype, name="conv1_1")(x, mask_p, train)
+
+        # conv2: packed down + 2 dense-grid blocks at 720²
+        x, mask2 = S2DDownBlock(32, 64, self.dtype, name="conv2_down")(x1p, mask, train)
+        x = SparseBasicBlock(64, self.dtype, name="conv2_0")(x, mask2, train)
+        x2 = SparseBasicBlock(64, self.dtype, name="conv2_1")(x, mask2, train)
+
+        # conv3
+        x, mask3 = SparseDownBlock(128, self.dtype, name="conv3_down")(x2, mask2, train)
+        x = SparseBasicBlock(128, self.dtype, name="conv3_0")(x, mask3, train)
+        x3 = SparseBasicBlock(128, self.dtype, name="conv3_1")(x, mask3, train)
+
+        # conv4
+        x, mask4 = SparseDownBlock(256, self.dtype, name="conv4_down")(x3, mask3, train)
+        x = SparseBasicBlock(256, self.dtype, name="conv4_0")(x, mask4, train)
+        x4 = SparseBasicBlock(256, self.dtype, name="conv4_1")(x, mask4, train)
+
+        # conv5: dense stride-2 stage
+        x = Conv2dTorch(256, 3, 2, 1, use_bias=False, dtype=self.dtype, name="conv5_down_conv")(x4)
+        x = BatchNormTorch(BN_EPS_BACKBONE, BN_MOM_BACKBONE, dtype=self.dtype, name="conv5_down_bn")(x, train)
+        x = nn.relu(x)
+        x = DenseBasicBlock(256, self.dtype, name="conv5_0")(x, train)
+        x5 = DenseBasicBlock(256, self.dtype, name="conv5_1")(x, train)
+
+        out = {
+            "x_conv2": x2, "x_conv3": x3, "x_conv4": x4, "x_conv5": x5,
+            "mask1": mask, "mask2": mask2, "mask3": mask3, "mask4": mask4,
+        }
+        if self.unpack_outputs:
+            out["x_conv1"] = depth_to_space(x1p, 32)
+        else:
+            out["x_conv1_packed"] = x1p
+        return out

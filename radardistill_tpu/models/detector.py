@@ -46,6 +46,7 @@ VFE_REGISTRY = {
     "DynamicMeanVFE": MeanVFE,
 }
 from .backbone_tile_sparse import PillarRes18BackBone8xTileSparse  # noqa: E402
+from .backbone_s2d import PillarRes18BackBone8xS2D  # noqa: E402
 
 BACKBONE3D_REGISTRY = {
     "PillarRes18BackBone8x": PillarRes18BackBone8x,
@@ -55,6 +56,10 @@ BACKBONE3D_REGISTRY = {
     # inference win; numerics identical given sufficient MAX_TILES)
     "PillarRes18BackBone8x_TileSparse": PillarRes18BackBone8xTileSparse,
     "Radar_PillarRes18BackBone8x_TileSparse": PillarRes18BackBone8xTileSparse,
+    # space-to-depth stage-1 variant: exact same math/params, C 32->128 at
+    # half resolution (kills the channel-thin layout copies — PERF.md)
+    "PillarRes18BackBone8x_S2D": PillarRes18BackBone8xS2D,
+    "Radar_PillarRes18BackBone8x_S2D": PillarRes18BackBone8xS2D,
 }
 NECK_REGISTRY = {
     "BaseBEVBackboneV2": BaseBEVBackboneV2,
