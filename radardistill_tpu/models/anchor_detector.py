@@ -94,6 +94,7 @@ class AnchorDetector(nn.Module):
                 with_distance=vfe_cfg.get("WITH_DISTANCE", False),
                 use_absolute_xyz=vfe_cfg.get("USE_ABSLOTE_XYZ", True),
                 use_cluster_xyz=vfe_cfg.get("USE_CLUSTER_XYZ", True),
+                dtype=dt,
             )
         b2d = cfg["BACKBONE_2D"]
         bb = BaseBEVBackbone
@@ -132,9 +133,7 @@ class AnchorDetector(nn.Module):
                 batch["voxel_coords"], train,
             )
         else:
-            bev, mask = self.vfe(
-                batch["points"].astype(dt), batch["points_mask"], train
-            )
+            bev, mask = self.vfe(batch["points"], batch["points_mask"], train)
         sp2d, _ = self.backbone_2d(bev, train)
         out["spatial_features_2d"] = sp2d
         preds = self.dense_head(sp2d, train)

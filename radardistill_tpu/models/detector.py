@@ -147,6 +147,7 @@ class PillarNet(nn.Module):
                 with_distance=sub.get("WITH_DISTANCE", False),
                 use_absolute_xyz=sub.get("USE_ABSLOTE_XYZ", True),
                 use_cluster_xyz=sub.get("USE_CLUSTER_XYZ", True),
+                dtype=dt,
             )
 
         def make_head(sub):
@@ -206,8 +207,10 @@ class PillarNet(nn.Module):
         dt = self.compute_dtype
 
         if self.has_teacher:
+            # raw (f32) points: coordinate features need full precision;
+            # the VFE casts to the compute dtype post-BN (vfe.PFNLayerV2)
             bev, mask = self.vfe(
-                batch["points"].astype(dt), batch["points_mask"],
+                batch["points"], batch["points_mask"],
                 self._maybe_freeze("vfe", train),
             )
             bev, mask = self._stop("vfe", (bev, mask))
@@ -239,7 +242,7 @@ class PillarNet(nn.Module):
             else:
                 rpts, rpts_mask = batch["points"], batch["points_mask"]
             rbev, rmask = self.radar_vfe(
-                rpts.astype(dt), rpts_mask,
+                rpts, rpts_mask,
                 self._maybe_freeze("radar_vfe", train),
             )
             rms = self.radar_backbone_3d(

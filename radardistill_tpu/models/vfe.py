@@ -38,6 +38,10 @@ class PFNLayerV2(nn.Module):
     out_channels: int
     use_norm: bool = True
     last_layer: bool = False
+    dtype: object = None  # compute dtype for the SCATTER GRID (the byte hog
+                          # — (B, H·W, C)); point features/Linear/BN stay f32
+                          # for coordinate precision, activations are cast
+                          # post-BN (they are normalized, O(1))
 
     @nn.compact
     def __call__(self, feats, ids, point_mask, grid_size, train: bool):
@@ -47,6 +51,8 @@ class PFNLayerV2(nn.Module):
             x = MaskedBatchNorm(name="norm")(x, point_mask, train)
         x = nn.relu(x)
         x = jnp.where(point_mask[..., None], x, 0.0)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         # per-pillar max on the dense grid (torch_scatter.scatter_max equiv.)
         bev = jax.vmap(lambda f, i: voxelize.scatter_max_bev(f, i, grid_size))(x, ids)
         if self.last_layer:
@@ -71,6 +77,8 @@ class DynamicPillarVFESimple2D(nn.Module):
     use_absolute_xyz: bool = True
     use_cluster_xyz: bool = True
     use_relative_xyz: bool = True
+    dtype: object = None  # scatter-grid dtype (see PFNLayerV2); raw point
+                          # coordinates are consumed in their input precision
 
     def build_point_features(self, points, valid, ids):
         """Assemble per-point feature vector (dynamic_pillar_vfe.py:214-237).
@@ -134,6 +142,7 @@ class DynamicPillarVFESimple2D(nn.Module):
                 out_channels=out_ch,
                 use_norm=self.use_norm,
                 last_layer=(i >= n_layers - 1),
+                dtype=self.dtype,
                 name=f"pfn_{i}",
             )(feats, ids, valid, self.grid_size, train)
 
