@@ -80,3 +80,29 @@ def test_full_vfe_pillar_max_semantics():
     assert np.all(bev[~pmask] == 0)
     # occupied pillars have non-negative (post-relu max) features
     assert np.all(bev[pmask] >= 0)
+
+
+def test_vfe_dtype_policy():
+    """With a bf16 compute dtype the scatter GRID is bf16 (the byte hog) but
+    raw f32 points feed the feature assembly at full precision; BN running
+    stats stay f32."""
+    rng = np.random.RandomState(2)
+    pts = jnp.asarray(rng.uniform(-7, 7, (1, 64, 5)).astype(np.float32))
+    mask = jnp.ones((1, 64), bool)
+    m = DynamicPillarVFESimple2D(
+        num_filters=(32,), voxel_size=VOX, point_cloud_range=PC, grid_size=GRID,
+        dtype=jnp.bfloat16,
+    )
+    variables = m.init(jax.random.PRNGKey(0), pts, mask, False)
+    bev, _ = m.apply(variables, pts, mask, False)
+    assert bev.dtype == jnp.bfloat16
+    for leaf in jax.tree.leaves(variables["batch_stats"]):
+        assert leaf.dtype == jnp.float32
+    # numerics match the f32 path to bf16 tolerance
+    m32 = DynamicPillarVFESimple2D(
+        num_filters=(32,), voxel_size=VOX, point_cloud_range=PC, grid_size=GRID
+    )
+    bev32, _ = m32.apply(variables, pts, mask, False)
+    np.testing.assert_allclose(
+        np.asarray(bev, np.float32), np.asarray(bev32), rtol=2e-2, atol=2e-2
+    )
