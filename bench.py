@@ -98,7 +98,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 10))
 
     cfg, info = make_model_cfg(grid=grid, teacher=True, radar=True, distill=True)
-    if os.environ.get("BENCH_S2D", "0") == "1":
+    if os.environ.get("BENCH_S2D", "1") == "1":
         # space-to-depth stage-1 backbone (exact same math/params; PERF.md)
         cfg.BACKBONE_3D.NAME = "PillarRes18BackBone8x_S2D"
         cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x_S2D"
@@ -130,6 +130,7 @@ def main():
     step_fn = make_train_step(model, tx, cfg, CLASS_NAMES, info["voxel_size"],
                               info["point_cloud_range"])
 
+    # BENCH_PROFILE=<dir> captures a device trace of one timed call
     # BENCH_SCAN=k runs k steps inside ONE device program (lax.scan),
     # amortizing the tunnel's per-call round-trip tax (~30-60 ms, see
     # CLAUDE.md) — the defensible estimate of true per-step device time.
@@ -148,6 +149,13 @@ def main():
 
     state, m = step(state, batch)  # compile + 1 step
     jax.block_until_ready(m["loss"])
+
+    prof_dir = os.environ.get("BENCH_PROFILE")
+    if prof_dir:
+        import jax.profiler
+        with jax.profiler.trace(prof_dir, create_perfetto_trace=True):
+            state, m = step(state, batch)
+            _ = float(m["loss"])
 
     # per-step hard sync via host readback: on the axon tunnel,
     # block_until_ready does NOT synchronize — float() does (CLAUDE.md)
