@@ -216,11 +216,13 @@ class PackedMaskedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
 
         if train:
-            mf = _phase_mask_flat(mask_p, c).astype(jnp.float32)
-            xf = x.astype(jnp.float32)
+            # multiply in the compute dtype, ACCUMULATE in f32 (dtype= on the
+            # reduce) — avoids materializing a f32 copy of the 4C map
+            mf = _phase_mask_flat(mask_p, c).astype(x.dtype)
+            xm = x * mf
             n = jnp.clip(jnp.sum(mask_p.astype(jnp.float32)), 1.0)
-            s1 = jnp.sum(xf * mf, axis=(0, 1, 2)).reshape(4, c).sum(0)
-            s2 = jnp.sum(xf * xf * mf, axis=(0, 1, 2)).reshape(4, c).sum(0)
+            s1 = jnp.sum(xm, axis=(0, 1, 2), dtype=jnp.float32).reshape(4, c).sum(0)
+            s2 = jnp.sum(xm * x, axis=(0, 1, 2), dtype=jnp.float32).reshape(4, c).sum(0)
             mean = s1 / n
             var = jnp.maximum(s2 / n - mean * mean, 0.0)
             if not self.is_initializing():

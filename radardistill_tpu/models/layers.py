@@ -153,13 +153,15 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             # single-pass statistics (Σx, Σx²) — one fewer full-tensor
-            # traversal than the (x-mean)² form; f32 accumulation
-            m = mask.astype(jnp.float32)[..., None]
-            n = jnp.clip(jnp.sum(m), 1.0)
-            xf = x.astype(jnp.float32)
+            # traversal than the (x-mean)² form. Multiplies stay in the
+            # compute dtype; the REDUCE accumulates f32 (dtype=) so no f32
+            # copy of the full map is materialized (PERF.md profile).
+            m = mask.astype(x.dtype)[..., None]
+            n = jnp.clip(jnp.sum(mask.astype(jnp.float32)), 1.0)
             axes = tuple(range(x.ndim - 1))
-            s1 = jnp.sum(xf * m, axis=axes)
-            s2 = jnp.sum(xf * xf * m, axis=axes)
+            xm = x * m
+            s1 = jnp.sum(xm, axis=axes, dtype=jnp.float32)
+            s2 = jnp.sum(xm * x, axis=axes, dtype=jnp.float32)
             mean = s1 / n
             var = jnp.maximum(s2 / n - mean * mean, 0.0)
             if not self.is_initializing():

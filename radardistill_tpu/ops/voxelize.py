@@ -74,8 +74,14 @@ def scatter_max_bev(feats, ids, grid_size):
     """
     nx, ny = grid_size
     c = feats.shape[-1]
+    # sort points by pillar id: TPU lowers unsorted scatters to a serialized
+    # custom-call (~2 GB/s measured — PERF.md); with indices_are_sorted the
+    # lowering streams. The (N,) key sort + one row gather is cheap.
+    order = jnp.argsort(ids)
+    ids_s = ids[order]
+    feats_s = feats[order]
     init = jnp.full((nx * ny, c), -jnp.inf, feats.dtype)
-    out = init.at[ids].max(feats, mode="drop")
+    out = init.at[ids_s].max(feats_s, mode="drop", indices_are_sorted=True)
     out = jnp.where(jnp.isneginf(out), 0.0, out)
     return out.reshape(ny, nx, c)
 
@@ -84,7 +90,10 @@ def scatter_sum_bev(feats, ids, grid_size):
     """Per-sample scatter-add into the dense grid -> (H, W, C)."""
     nx, ny = grid_size
     c = feats.shape[-1]
-    out = jnp.zeros((nx * ny, c), feats.dtype).at[ids].add(feats, mode="drop")
+    order = jnp.argsort(ids)  # sorted indices stream on TPU (see scatter_max_bev)
+    out = jnp.zeros((nx * ny, c), feats.dtype).at[ids[order]].add(
+        feats[order], mode="drop", indices_are_sorted=True
+    )
     return out.reshape(ny, nx, c)
 
 
