@@ -72,52 +72,28 @@ def scatter_max_bev(feats, ids, grid_size):
         empty segment never being read in the reference — empty sites simply
         don't exist in the sparse tensor, i.e. are 0 after `.dense()`).
     """
-    return _segment_reduce_to_grid(feats, ids, grid_size, "max")
+    nx, ny = grid_size
+    c = feats.shape[-1]
+    # sort points by pillar id: TPU lowers unsorted scatters to a serialized
+    # custom-call (~2 GB/s measured — PERF.md); with indices_are_sorted the
+    # lowering streams. The (N,) key sort + one row gather is cheap.
+    order = jnp.argsort(ids)
+    ids_s = ids[order]
+    feats_s = feats[order]
+    init = jnp.full((nx * ny, c), -jnp.inf, feats.dtype)
+    out = init.at[ids_s].max(feats_s, mode="drop", indices_are_sorted=True)
+    out = jnp.where(jnp.isneginf(out), 0.0, out)
+    return out.reshape(ny, nx, c)
 
 
 def scatter_sum_bev(feats, ids, grid_size):
     """Per-sample scatter-add into the dense grid -> (H, W, C)."""
-    return _segment_reduce_to_grid(feats, ids, grid_size, "sum")
-
-
-def _segment_reduce_to_grid(feats, ids, grid_size, op: str):
-    """Sorted segmented reduce + UNIQUE-index scatter.
-
-    TPU lowers combining scatters (max/add) to serialized custom-calls
-    (~2 GB/s measured — PERF.md), even with sorted indices. Instead: sort
-    points by pillar id, run a log-depth segmented scan (associative_scan,
-    fully vectorized), keep each run's LAST element, and write it with a
-    non-combining UNIQUE scatter (pure masked write). Non-last rows get
-    distinct out-of-range ids so uniqueness holds and `mode='drop'` discards
-    them; sentinel (invalid) ids sort last and are likewise dropped.
-    """
     nx, ny = grid_size
-    n, c = feats.shape
-    order = jnp.argsort(ids)
-    ids_s = ids[order]
-    feats_s = feats[order]
-
-    neutral = -jnp.inf if op == "max" else 0.0
-
-    def combine(a, b):
-        ia, va = a
-        ib, vb = b
-        keep = (ia == ib)[..., None]
-        prev = jnp.where(keep, va, jnp.asarray(neutral, va.dtype))
-        new = jnp.maximum(vb, prev) if op == "max" else vb + prev
-        return ib, new
-
-    _, run_vals = jax.lax.associative_scan(combine, (ids_s, feats_s))
-    is_last = jnp.concatenate([ids_s[1:] != ids_s[:-1], jnp.ones((1,), bool)])
-    # distinct OOB ids for dropped rows -> indices provably unique
-    write_ids = jnp.where(is_last & (ids_s < nx * ny), ids_s,
-                          nx * ny + jnp.arange(n, dtype=ids_s.dtype))
-    init = jnp.full((nx * ny, c), neutral, feats.dtype)
-    out = init.at[write_ids].set(
-        run_vals, mode="drop", indices_are_sorted=False, unique_indices=True
+    c = feats.shape[-1]
+    order = jnp.argsort(ids)  # sorted indices stream on TPU (see scatter_max_bev)
+    out = jnp.zeros((nx * ny, c), feats.dtype).at[ids[order]].add(
+        feats[order], mode="drop", indices_are_sorted=True
     )
-    if op == "max":
-        out = jnp.where(jnp.isneginf(out), 0.0, out)
     return out.reshape(ny, nx, c)
 
 
