@@ -98,10 +98,13 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 10))
 
     cfg, info = make_model_cfg(grid=grid, teacher=True, radar=True, distill=True)
-    if os.environ.get("BENCH_S2D", "1") == "1":
-        # space-to-depth stage-1 backbone (exact same math/params; PERF.md)
-        cfg.BACKBONE_3D.NAME = "PillarRes18BackBone8x_S2D"
-        cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x_S2D"
+    s2d = os.environ.get("BENCH_S2D", "1")
+    if s2d in ("1", "2"):
+        # space-to-depth backbones (exact same math/params; PERF.md);
+        # "2" also packs stage 2
+        suffix = "_S2D2" if s2d == "2" else "_S2D"
+        cfg.BACKBONE_3D.NAME = "PillarRes18BackBone8x" + suffix
+        cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x" + suffix
     model = build_network(
         cfg, info, compute_dtype=jnp.bfloat16,
         remat=os.environ.get("BENCH_REMAT", "1") == "1",

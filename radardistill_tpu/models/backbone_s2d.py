@@ -139,9 +139,37 @@ def pack_down_kernel(k, cin, cout):
     return kp
 
 
-def _conv(x, kernel, padding):
+def pack_down_kernel_packed_out(k, cin, cout):
+    """(3,3,Cin,Cout) stride-2 kernel -> (3,3,4Cin,4Cout) stride-2 conv on
+    the PACKED input grid producing the PACKED next-stage grid (both grids
+    stay space-to-depth packed). Valid taps: dy = 2Δu + qy − 2py ∈ {−1,0,1}
+    (output phase p of the next stage's packing, input phase q)."""
+    kp = jnp.zeros((3, 3, 4 * cin, 4 * cout), k.dtype)
+    for py in range(2):
+        for px in range(2):
+            p = py * 2 + px
+            for qy in range(2):
+                for qx in range(2):
+                    q = qy * 2 + qx
+                    for du in (-1, 0, 1):
+                        dy = 2 * du + qy - 2 * py
+                        if abs(dy) > 1:
+                            continue
+                        for dv in (-1, 0, 1):
+                            dx = 2 * dv + qx - 2 * px
+                            if abs(dx) > 1:
+                                continue
+                            kp = kp.at[
+                                du + 1, dv + 1,
+                                q * cin:(q + 1) * cin,
+                                p * cout:(p + 1) * cout,
+                            ].set(k[dy + 1, dx + 1])
+    return kp
+
+
+def _conv(x, kernel, padding, stride=1):
     return jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(1, 1), padding=padding,
+        x, kernel, window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 
@@ -280,6 +308,31 @@ class S2DDownBlock(nn.Module):
         return y * new_mask[..., None].astype(y.dtype), new_mask
 
 
+class S2DDownBlockPacked(nn.Module):
+    """Stride-2 SparseConv2d that keeps BOTH grids packed: (h,w,4Cin) ->
+    (h/2, w/2, 4Cout). Param tree == SparseDownBlock; BN stats are the
+    packed fold over the next stage's packed mask."""
+
+    cin: int
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x_packed, mask, train):
+        new_mask = max_pool_mask(mask, 3, 2, 1)   # original-resolution bookkeeping
+        new_mask_p = pack_mask(new_mask)
+        k, _ = _ConvScope(self.cin, self.features, False, name="conv")()
+        dt = self.dtype or x_packed.dtype
+        kp = pack_down_kernel_packed_out(k.astype(dt), self.cin, self.features)
+        y = _conv(x_packed.astype(dt), kp, ((1, 1), (1, 1)), stride=2)
+        y = PackedMaskedBatchNorm(self.features, dtype=self.dtype, name="bn")(
+            y, new_mask_p, train
+        )
+        y = nn.relu(y)
+        y = y * _phase_mask_flat(new_mask_p, self.features).astype(y.dtype)
+        return y, new_mask, new_mask_p
+
+
 class PillarRes18BackBone8xS2D(nn.Module):
     """PillarRes18BackBone8x with stage 1 space-to-depth packed.
 
@@ -290,6 +343,7 @@ class PillarRes18BackBone8xS2D(nn.Module):
 
     dtype: Any = None
     unpack_outputs: bool = False
+    pack_stage2: bool = False   # also run stage 2 packed (360², 4·64)
     channels = (32, 64, 128, 256, 256)
 
     @nn.compact
@@ -302,13 +356,25 @@ class PillarRes18BackBone8xS2D(nn.Module):
         x = S2DBasicBlock(32, self.dtype, name="conv1_0")(x, mask_p, train)
         x1p = S2DBasicBlock(32, self.dtype, name="conv1_1")(x, mask_p, train)
 
-        # conv2: packed down + 2 dense-grid blocks at 720²
-        x, mask2 = S2DDownBlock(32, 64, self.dtype, name="conv2_down")(x1p, mask, train)
-        x = SparseBasicBlock(64, self.dtype, name="conv2_0")(x, mask2, train)
-        x2 = SparseBasicBlock(64, self.dtype, name="conv2_1")(x, mask2, train)
+        if self.pack_stage2:
+            # conv2: packed->packed down + 2 packed blocks at (360², 256)
+            x, mask2, mask2_p = S2DDownBlockPacked(32, 64, self.dtype, name="conv2_down")(
+                x1p, mask, train
+            )
+            x = S2DBasicBlock(64, self.dtype, name="conv2_0")(x, mask2_p, train)
+            x2p = S2DBasicBlock(64, self.dtype, name="conv2_1")(x, mask2_p, train)
+            x2 = None
+            # conv3_down consumes the packed stage-2 grid (2×2 packed kernel)
+            x, mask3 = S2DDownBlock(64, 128, self.dtype, name="conv3_down")(x2p, mask2, train)
+        else:
+            # conv2: packed down + 2 dense-grid blocks at 720²
+            x, mask2 = S2DDownBlock(32, 64, self.dtype, name="conv2_down")(x1p, mask, train)
+            x = SparseBasicBlock(64, self.dtype, name="conv2_0")(x, mask2, train)
+            x2 = SparseBasicBlock(64, self.dtype, name="conv2_1")(x, mask2, train)
+            x2p = None
 
-        # conv3
-        x, mask3 = SparseDownBlock(128, self.dtype, name="conv3_down")(x2, mask2, train)
+            # conv3
+            x, mask3 = SparseDownBlock(128, self.dtype, name="conv3_down")(x2, mask2, train)
         x = SparseBasicBlock(128, self.dtype, name="conv3_0")(x, mask3, train)
         x3 = SparseBasicBlock(128, self.dtype, name="conv3_1")(x, mask3, train)
 
@@ -325,11 +391,16 @@ class PillarRes18BackBone8xS2D(nn.Module):
         x5 = DenseBasicBlock(256, self.dtype, name="conv5_1")(x, train)
 
         out = {
-            "x_conv2": x2, "x_conv3": x3, "x_conv4": x4, "x_conv5": x5,
+            "x_conv3": x3, "x_conv4": x4, "x_conv5": x5,
             "mask1": mask, "mask2": mask2, "mask3": mask3, "mask4": mask4,
         }
         if self.unpack_outputs:
             out["x_conv1"] = depth_to_space(x1p, 32)
+            out["x_conv2"] = depth_to_space(x2p, 64) if x2 is None else x2
         else:
             out["x_conv1_packed"] = x1p
+            if x2 is None:
+                out["x_conv2_packed"] = x2p
+            else:
+                out["x_conv2"] = x2
         return out

@@ -60,6 +60,9 @@ BACKBONE3D_REGISTRY = {
     # half resolution (kills the channel-thin layout copies — PERF.md)
     "PillarRes18BackBone8x_S2D": PillarRes18BackBone8xS2D,
     "Radar_PillarRes18BackBone8x_S2D": PillarRes18BackBone8xS2D,
+    # S2D with stage 2 also packed (360², 256)
+    "PillarRes18BackBone8x_S2D2": PillarRes18BackBone8xS2D,
+    "Radar_PillarRes18BackBone8x_S2D2": PillarRes18BackBone8xS2D,
 }
 NECK_REGISTRY = {
     "BaseBEVBackboneV2": BaseBEVBackboneV2,
@@ -162,10 +165,13 @@ class PillarNet(nn.Module):
             )
 
         def make_backbone(sub):
-            cls = BACKBONE3D_REGISTRY[sub.get("NAME", "PillarRes18BackBone8x")]
+            name = sub.get("NAME", "PillarRes18BackBone8x")
+            cls = BACKBONE3D_REGISTRY[name]
             kwargs = {}
             if cls is PillarRes18BackBone8xTileSparse:
                 kwargs = dict(tile=sub.get("TILE", 32), max_tiles=sub.get("MAX_TILES", 512))
+            if cls is PillarRes18BackBone8xS2D and name.endswith("_S2D2"):
+                kwargs = dict(pack_stage2=True)
             if self.remat:
                 cls = nn.remat(cls, static_argnums=(3,))
             return cls(dtype=dt, **kwargs)

@@ -100,3 +100,37 @@ def test_s2d_param_tree_identical():
     for (p, a), (_, b) in zip(sorted(fd, key=lambda t: jax.tree_util.keystr(t[0])),
                               sorted(fs, key=lambda t: jax.tree_util.keystr(t[0]))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(p))
+
+
+def test_packed_down_kernel_packed_out_equivalence():
+    rng = np.random.RandomState(5)
+    cin, cout = 3, 4
+    x = jnp.asarray(rng.randn(2, 16, 16, cin).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32))
+    want = _conv(x, k, 2, 1)  # (2, 8, 8, cout) on the orig grid
+    from radardistill_tpu.models.backbone_s2d import pack_down_kernel_packed_out
+    kp = pack_down_kernel_packed_out(k, cin, cout)
+    got_p = jax.lax.conv_general_dilated(
+        space_to_depth(x), kp, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (2, 4, 4, 4*cout) packed
+    got = depth_to_space(got_p, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_stage2_packed_matches_dense():
+    rng = np.random.RandomState(6)
+    b, hw, c = 2, 32, 32
+    bev = jnp.asarray(rng.randn(b, hw, hw, c).astype(np.float32))
+    mask = jnp.asarray(rng.rand(b, hw, hw) > 0.6)
+    dense = PillarRes18BackBone8x()
+    s2d2 = PillarRes18BackBone8xS2D(unpack_outputs=True, pack_stage2=True)
+    variables = dense.init(jax.random.PRNGKey(0), bev, mask, True)
+    for train in (True, False):
+        out_d, _ = dense.apply(variables, bev, mask, train, mutable=["batch_stats"])
+        out_s, _ = s2d2.apply(variables, bev, mask, train, mutable=["batch_stats"])
+        for key in ("x_conv1", "x_conv2", "x_conv3", "x_conv4", "x_conv5"):
+            np.testing.assert_allclose(
+                np.asarray(out_s[key]), np.asarray(out_d[key]),
+                rtol=2e-4, atol=2e-4, err_msg=f"{key} train={train}",
+            )
