@@ -137,7 +137,7 @@ def main():
     # BENCH_SCAN=k runs k steps inside ONE device program (lax.scan),
     # amortizing the tunnel's per-call round-trip tax (~30-60 ms, see
     # CLAUDE.md) — the defensible estimate of true per-step device time.
-    scan_k = int(os.environ.get("BENCH_SCAN", "1"))
+    scan_k = int(os.environ.get("BENCH_SCAN", "4"))
     if scan_k > 1:
         def multi_step(state, batch):
             def body(s, _):
