@@ -48,6 +48,9 @@ def infer_bench():
 
     grid = int(os.environ.get("BENCH_GRID", 1440))
     cfg, info = make_model_cfg(grid=grid, teacher=False, radar=True, distill=None)
+    s2d = os.environ.get("BENCH_S2D", "1")
+    if s2d in ("1", "2"):
+        cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x" + ("_S2D2" if s2d == "2" else "_S2D")
     model = build_network(cfg, info, compute_dtype=jnp.bfloat16)
     s = make_scene(0, num_lidar=100, num_radar=3000, num_boxes=40,
                    pc_range=info["point_cloud_range"])
