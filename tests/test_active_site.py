@@ -1,0 +1,135 @@
+"""Active-site sparse conv primitives vs dense ground truth.
+
+The contract: on matched active sets, the gather-scatter formulation must
+reproduce the masked-dense semantics (which round 1 proved equivalent to
+reference spconv) bit-for-bit in f32 up to reduction order.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radardistill_tpu.models.layers import max_pool_mask
+from radardistill_tpu.ops import active_site as asx
+
+
+def _random_active(rng, h, w, n_active):
+    ids = rng.choice(h * w, size=n_active, replace=False)
+    mask = np.zeros((h, w), bool)
+    mask.reshape(-1)[ids] = True
+    return np.sort(ids).astype(np.int32), mask
+
+
+def _dense_conv(x, kernel, stride):
+    return jax.lax.conv_general_dilated(
+        x[None], kernel, (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[0]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_subm_conv_matches_masked_dense(seed):
+    rng = np.random.RandomState(seed)
+    h = w = 24
+    ci, co, cap = 8, 16, 64
+    ids, mask = _random_active(rng, h, w, 40)
+    uids = np.full(cap, h * w, np.int32)
+    uids[: len(ids)] = ids
+    feats = rng.randn(cap, ci).astype(np.float32)
+    feats[len(ids):] = 0.0
+    kernel = rng.randn(3, 3, ci, co).astype(np.float32) * 0.1
+    bias = rng.randn(co).astype(np.float32) * 0.1
+
+    grid = asx.site_index_grid(jnp.asarray(uids), h * w, cap)
+    nb, msk = asx.conv_neighbor_table(jnp.asarray(uids), grid, (h, w), w, 1, cap)
+    y_sp = asx.conv3x3_as(jnp.asarray(feats), nb, msk, jnp.asarray(kernel), jnp.asarray(bias))
+
+    # dense: conv over the masked map, read at active sites, add bias there
+    x_dense = np.zeros((h, w, ci), np.float32)
+    x_dense.reshape(-1, ci)[ids] = feats[: len(ids)]
+    y_dense = np.asarray(_dense_conv(jnp.asarray(x_dense), jnp.asarray(kernel), 1)) + bias
+
+    got = np.asarray(y_sp)[: len(ids)]
+    want = y_dense.reshape(-1, co)[ids]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # padded rows carry bias garbage by design; callers mask. Check msk sanity:
+    assert not np.asarray(msk)[:, len(ids):].any()
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_downsample_active_matches_maxpool_rule(seed):
+    rng = np.random.RandomState(seed)
+    h = w = 32
+    ids, mask = _random_active(rng, h, w, 57)
+    cap_in, cap_out = 64, 128
+    uids = np.full(cap_in, h * w, np.int32)
+    uids[: len(ids)] = ids
+
+    out_uids, count = asx.downsample_active(jnp.asarray(uids), (h, w), cap_out)
+    want_mask = np.asarray(max_pool_mask(jnp.asarray(mask[None]), 3, 2, 1))[0]
+    want_ids = np.nonzero(want_mask.reshape(-1))[0]
+
+    got_ids = np.asarray(out_uids)
+    got_ids = got_ids[got_ids < (h // 2) * (w // 2)]
+    np.testing.assert_array_equal(np.sort(got_ids), np.sort(want_ids))
+    assert int(count) == len(want_ids)
+
+
+def test_down_conv_matches_dense():
+    rng = np.random.RandomState(7)
+    h = w = 32
+    ci, co, cap_in, cap_out = 8, 8, 64, 128
+    ids, mask = _random_active(rng, h, w, 50)
+    uids = np.full(cap_in, h * w, np.int32)
+    uids[: len(ids)] = ids
+    feats = rng.randn(cap_in, ci).astype(np.float32)
+    feats[len(ids):] = 0.0
+    kernel = rng.randn(3, 3, ci, co).astype(np.float32) * 0.1
+
+    out_uids, _ = asx.downsample_active(jnp.asarray(uids), (h, w), cap_out)
+    in_grid = asx.site_index_grid(jnp.asarray(uids), h * w, cap_in)
+    nb, msk = asx.conv_neighbor_table(out_uids, in_grid, (h, w), w // 2, 2, cap_in)
+    y_sp = asx.conv3x3_as(jnp.asarray(feats), nb, msk, jnp.asarray(kernel))
+
+    x_dense = np.zeros((h, w, ci), np.float32)
+    x_dense.reshape(-1, ci)[ids] = feats[: len(ids)]
+    y_dense = np.asarray(_dense_conv(jnp.asarray(x_dense), jnp.asarray(kernel), 2))
+
+    got_ids = np.asarray(out_uids)
+    n_out = int((got_ids < (h // 2) * (w // 2)).sum())
+    got = np.asarray(y_sp)[:n_out]
+    want = y_dense.reshape(-1, co)[got_ids[:n_out]]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_densify_sparsify_roundtrip():
+    rng = np.random.RandomState(2)
+    h = w = 16
+    c, cap = 4, 32
+    ids, mask = _random_active(rng, h, w, 20)
+    bev = np.zeros((h, w, c), np.float32)
+    bev.reshape(-1, c)[ids] = rng.randn(len(ids), c)
+
+    feats, uids, count = asx.sparsify(jnp.asarray(bev), jnp.asarray(mask), cap)
+    assert int(count) == len(ids)
+    dense2, mask2 = asx.densify(feats, uids, (h, w))
+    np.testing.assert_allclose(np.asarray(dense2), bev, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mask2), mask)
+
+
+def test_compact_unique_overflow_drops_largest():
+    ids = jnp.asarray(np.array([5, 5, 3, 9, 9, 7, 100, 100], np.int32))
+    uids, slot, count = asx.compact_unique(ids, cap=3, sentinel=100)
+    np.testing.assert_array_equal(np.asarray(uids), [3, 5, 7])
+    assert int(count) == 4  # 9 overflowed but is counted
+    # slots are aligned with sorted ids [3,5,5,7,9,9,100,100]
+    np.testing.assert_array_equal(np.asarray(slot), [0, 1, 1, 2, 3, 3, 3, 3])
+
+
+def test_compact_unique_overflow_slot_is_dropped():
+    # overflowed ids must map to slot == cap (drop), not a valid row
+    ids = jnp.asarray(np.array([1, 2, 3, 4], np.int32))
+    uids, slot, count = asx.compact_unique(ids, cap=2, sentinel=100)
+    np.testing.assert_array_equal(np.asarray(uids), [1, 2])
+    np.testing.assert_array_equal(np.asarray(slot), [0, 1, 2, 2])
