@@ -30,7 +30,12 @@ from .backbone_sparse2d import PillarBackBone8x, PillarRes18BackBone8x
 from .bev_backbone import BaseBEVBackboneV1, BaseBEVBackboneV2
 from .center_head import CenterHead, HeadSpec, assign_targets, decode_and_nms
 from .distill import CMAHourglass
-from .vfe import DynamicPillarVFE, DynamicPillarVFESimple2D, MeanVFE
+from .vfe import (
+    DynamicPillarVFE,
+    DynamicPillarVFESimple2D,
+    DynamicPillarVFESparse,
+    MeanVFE,
+)
 
 # per-stage registries (reference: pcdet/models/{backbones_3d/vfe,backbones_3d,
 # backbones_2d,dense_heads}/__init__.py __all__ dicts). Radar_* twins share
@@ -47,6 +52,7 @@ VFE_REGISTRY = {
 }
 from .backbone_tile_sparse import PillarRes18BackBone8xTileSparse  # noqa: E402
 from .backbone_s2d import PillarRes18BackBone8xS2D  # noqa: E402
+from .backbone_as import PillarRes18BackBone8xAS  # noqa: E402
 
 BACKBONE3D_REGISTRY = {
     "PillarRes18BackBone8x": PillarRes18BackBone8x,
@@ -63,6 +69,10 @@ BACKBONE3D_REGISTRY = {
     # S2D with stage 2 also packed (360², 256)
     "PillarRes18BackBone8x_S2D2": PillarRes18BackBone8xS2D,
     "Radar_PillarRes18BackBone8x_S2D2": PillarRes18BackBone8xS2D,
+    # active-site (gather-scatter) formulation: compute scales with occupancy,
+    # not grid area — the spconv-equivalent production train path (PERF.md)
+    "PillarRes18BackBone8x_AS": PillarRes18BackBone8xAS,
+    "Radar_PillarRes18BackBone8x_AS": PillarRes18BackBone8xAS,
 }
 NECK_REGISTRY = {
     "BaseBEVBackboneV2": BaseBEVBackboneV2,
@@ -133,7 +143,19 @@ class PillarNet(nn.Module):
             for scope in FREEZE_NAME_TO_SCOPE.get(n, ())
         }
 
-        def make_vfe(sub):
+        def _as_caps(bk_sub):
+            """Per-stage active-site capacities, clipped to stage grid area
+            (shared by the sparse VFE and the AS backbone)."""
+            nx, ny = self.grid_size
+            caps = tuple(bk_sub.get("MAX_ACTIVE", PillarRes18BackBone8xAS.caps))
+            return tuple(
+                min(int(c), (ny // s) * (nx // s)) for c, s in zip(caps, (1, 2, 4, 8))
+            )
+
+        def _is_as(bk_sub):
+            return bk_sub.get("NAME", "PillarRes18BackBone8x").endswith("_AS")
+
+        def make_vfe(sub, bk_sub=None):
             cls = VFE_REGISTRY[sub.get("NAME", "DynamicPillarVFESimple2D")]
             if cls is MeanVFE:
                 return MeanVFE(
@@ -141,7 +163,7 @@ class PillarNet(nn.Module):
                     point_cloud_range=self.point_cloud_range,
                     grid_size=self.grid_size,
                 )
-            return cls(
+            kwargs = dict(
                 num_filters=tuple(sub["NUM_FILTERS"]),
                 voxel_size=self.voxel_size,
                 point_cloud_range=self.point_cloud_range,
@@ -152,6 +174,9 @@ class PillarNet(nn.Module):
                 use_cluster_xyz=sub.get("USE_CLUSTER_XYZ", True),
                 dtype=dt,
             )
+            if bk_sub is not None and _is_as(bk_sub) and cls is DynamicPillarVFESimple2D:
+                return DynamicPillarVFESparse(capacity=_as_caps(bk_sub)[0], **kwargs)
+            return cls(**kwargs)
 
         def make_head(sub):
             spec = HeadSpec(sub["CLASS_NAMES_EACH_HEAD"], self.class_names)
@@ -172,6 +197,13 @@ class PillarNet(nn.Module):
                 kwargs = dict(tile=sub.get("TILE", 32), max_tiles=sub.get("MAX_TILES", 512))
             if cls is PillarRes18BackBone8xS2D and name.endswith("_S2D2"):
                 kwargs = dict(pack_stage2=True)
+            if cls is PillarRes18BackBone8xAS:
+                nx, ny = self.grid_size
+                kwargs = dict(
+                    hw=(ny, nx),
+                    caps=_as_caps(sub),
+                    dense_from=int(sub.get("DENSE_FROM", 3)),
+                )
             if self.remat:
                 cls = nn.remat(cls, static_argnums=(3,))
             return cls(dtype=dt, **kwargs)
@@ -184,13 +216,15 @@ class PillarNet(nn.Module):
             return cls(dtype=dt, **kwargs)
 
         if self.has_teacher:
-            self.vfe = make_vfe(cfg["VFE"])
+            self.as_teacher = _is_as(cfg.get("BACKBONE_3D", {}))
+            self.vfe = make_vfe(cfg["VFE"], cfg.get("BACKBONE_3D", {}))
             self.backbone_3d = make_backbone(cfg.get("BACKBONE_3D", {}))
             self.backbone_2d = make_neck(cfg["BACKBONE_2D"])
             self.dense_head = make_head(cfg["DENSE_HEAD"])
             self.head_spec = self.dense_head.spec
         if self.has_radar:
-            self.radar_vfe = make_vfe(cfg["RADAR_VFE"])
+            self.as_radar = _is_as(cfg.get("RADAR_BACKBONE_3D", {}))
+            self.radar_vfe = make_vfe(cfg["RADAR_VFE"], cfg.get("RADAR_BACKBONE_3D", {}))
             self.radar_backbone_3d = make_backbone(cfg.get("RADAR_BACKBONE_3D", {}))
             self.radar_cma = CMA(dim=256, dtype=dt)
             self.radar_neck = make_neck(cfg["RADAR_BACKBONE_2D"])
@@ -215,12 +249,22 @@ class PillarNet(nn.Module):
         if self.has_teacher:
             # raw (f32) points: coordinate features need full precision;
             # the VFE casts to the compute dtype post-BN (vfe.PFNLayerV2)
-            bev, mask = self.vfe(
-                batch["points"], batch["points_mask"],
-                self._maybe_freeze("vfe", train),
-            )
-            bev, mask = self._stop("vfe", (bev, mask))
-            ms = self.backbone_3d(bev, mask, self._maybe_freeze("backbone_3d", train))
+            if self.as_teacher:
+                tfeats, tuids, _ = self.vfe(
+                    batch["points"], batch["points_mask"],
+                    self._maybe_freeze("vfe", train),
+                )
+                tfeats, tuids = self._stop("vfe", (tfeats, tuids))
+                ms = self.backbone_3d(
+                    tfeats, tuids, self._maybe_freeze("backbone_3d", train)
+                )
+            else:
+                bev, mask = self.vfe(
+                    batch["points"], batch["points_mask"],
+                    self._maybe_freeze("vfe", train),
+                )
+                bev, mask = self._stop("vfe", (bev, mask))
+                ms = self.backbone_3d(bev, mask, self._maybe_freeze("backbone_3d", train))
             ms = self._stop("backbone_3d", ms)
             out["x_conv4"] = ms["x_conv4"]
             out["x_conv5"] = ms["x_conv5"]
@@ -247,13 +291,21 @@ class PillarNet(nn.Module):
                 rpts, rpts_mask = batch["radar_points"], batch["radar_points_mask"]
             else:
                 rpts, rpts_mask = batch["points"], batch["points_mask"]
-            rbev, rmask = self.radar_vfe(
-                rpts, rpts_mask,
-                self._maybe_freeze("radar_vfe", train),
-            )
-            rms = self.radar_backbone_3d(
-                rbev, rmask, self._maybe_freeze("radar_backbone_3d", train)
-            )
+            if self.as_radar:
+                rfeats, ruids, _ = self.radar_vfe(
+                    rpts, rpts_mask, self._maybe_freeze("radar_vfe", train)
+                )
+                rms = self.radar_backbone_3d(
+                    rfeats, ruids, self._maybe_freeze("radar_backbone_3d", train)
+                )
+            else:
+                rbev, rmask = self.radar_vfe(
+                    rpts, rpts_mask,
+                    self._maybe_freeze("radar_vfe", train),
+                )
+                rms = self.radar_backbone_3d(
+                    rbev, rmask, self._maybe_freeze("radar_backbone_3d", train)
+                )
             out["radar_x_conv4"] = rms["x_conv4"]
             cma_train = self._maybe_freeze("radar_backbone_2d", train)
             dense_8x_2, dense_8x_1 = self.radar_cma(rms["x_conv4"], cma_train)

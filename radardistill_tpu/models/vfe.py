@@ -155,6 +155,144 @@ class DynamicPillarVFESimple2D(nn.Module):
         return self.num_filters[-1]
 
 
+class PFNLayerV2Sparse(nn.Module):
+    """PFNLayerV2 reducing into a fixed-capacity pillar TABLE instead of the
+    dense grid. Identical params/names ("linear", "norm") — checkpoints are
+    interchangeable with PFNLayerV2."""
+
+    out_channels: int
+    capacity: int
+    use_norm: bool = True
+    last_layer: bool = False
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, feats, slot, point_mask, train: bool):
+        """feats: (B, N, F) points SORTED by pillar id; slot: (B, N) row in
+        the pillar table (capacity = invalid/overflow, monotone per sample)."""
+        out_ch = self.out_channels if self.last_layer else self.out_channels // 2
+        x = nn.Dense(out_ch, use_bias=not self.use_norm, name="linear")(feats)
+        if self.use_norm:
+            x = MaskedBatchNorm(name="norm")(x, point_mask, train)
+        x = nn.relu(x)
+        x = jnp.where(point_mask[..., None], x, 0.0)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        def seg_max(xf, sl):
+            t = jnp.full((self.capacity, xf.shape[-1]), -jnp.inf, xf.dtype).at[sl].max(
+                xf, mode="drop", indices_are_sorted=True
+            )
+            return jnp.where(jnp.isneginf(t), 0.0, t)
+
+        table = jax.vmap(seg_max)(x, slot)
+        if self.last_layer:
+            return x, table
+        back = jax.vmap(
+            lambda t, sl: t.at[sl].get(mode="fill", fill_value=0, indices_are_sorted=True)
+        )(table, slot)
+        return jnp.concatenate([x, back], axis=-1), None
+
+
+class DynamicPillarVFESparse(DynamicPillarVFESimple2D):
+    """DynamicPillarVFESimple2D emitting a sorted active-site pillar table
+    (feats (B, cap, C), uids (B, cap), count (B,)) instead of the dense BEV
+    grid — the front-end of the active-site backbone. This is the closest
+    TPU analog of the reference's actual dataflow (torch.unique + scatter to
+    a packed pillar list, dynamic_pillar_vfe.py:195-252): the dense grid is
+    never materialized, which also removes the (B, H*W, C) scatter buffers
+    that dominated the VFE's footprint (PERF.md).
+
+    Params are identical to the dense VFE (same pfn_i/linear|norm scopes).
+    """
+
+    capacity: int = 65536
+
+    @nn.compact
+    def __call__(self, points, point_mask, train: bool):
+        from ..ops import active_site as asx
+
+        coords, in_range = voxelize.compute_pillar_coords(
+            points[..., :2], self.point_cloud_range, self.voxel_size, self.grid_size
+        )
+        valid = point_mask & in_range
+        ids = voxelize.pillar_ids(coords, valid, self.grid_size)
+
+        # sort points by pillar id ONCE; every downstream scatter/gather is
+        # then monotone (the dense VFE re-sorts inside every scatter call)
+        order = jnp.argsort(ids, axis=-1)
+        ids = jnp.take_along_axis(ids, order, axis=-1)
+        points = jnp.take_along_axis(points, order[..., None], axis=1)
+        valid = jnp.take_along_axis(valid, order, axis=-1)
+
+        nx, ny = self.grid_size
+        sent = nx * ny
+        uids, slot, count = jax.vmap(
+            lambda i: asx.compact_unique_sorted(i, self.capacity, sent)
+        )(ids)
+
+        feats = self.build_point_features_sparse(points, valid, ids, slot)
+
+        table = None
+        n_layers = len(self.num_filters)
+        for i, out_ch in enumerate(self.num_filters):
+            feats, table = PFNLayerV2Sparse(
+                out_channels=out_ch,
+                capacity=self.capacity,
+                use_norm=self.use_norm,
+                last_layer=(i >= n_layers - 1),
+                dtype=self.dtype,
+                name=f"pfn_{i}",
+            )(feats, slot, valid, train)
+        return table, uids, count
+
+    def build_point_features_sparse(self, points, valid, ids, slot):
+        """build_point_features with the cluster mean reduced via the pillar
+        table (slot) instead of the dense grid."""
+        vx, vy, vz = self.voxel_size[:3]
+        x_off = vx / 2 + self.point_cloud_range[0]
+        y_off = vy / 2 + self.point_cloud_range[1]
+        z_off = vz / 2 + self.point_cloud_range[2]
+        xyz = points[..., 0:3]
+        nx = self.grid_size[0]
+        cx = ids % nx
+        cy = ids // nx
+        f_center = jnp.stack(
+            [
+                xyz[..., 0] - (cx.astype(xyz.dtype) * vx + x_off),
+                xyz[..., 1] - (cy.astype(xyz.dtype) * vy + y_off),
+                xyz[..., 2] - z_off,
+            ],
+            axis=-1,
+        )
+        feats = [f_center]
+        if self.use_absolute_xyz:
+            feats.append(points)
+        else:
+            feats.append(points[..., 3:])
+        if self.use_cluster_xyz:
+            def mean_back(p, v, sl):
+                pm = jnp.where(v[..., None], p, 0.0)
+                s = jnp.zeros((self.capacity, 3), p.dtype).at[sl].add(
+                    pm, mode="drop", indices_are_sorted=True
+                )
+                n = jnp.zeros((self.capacity,), p.dtype).at[sl].add(
+                    v.astype(p.dtype), mode="drop", indices_are_sorted=True
+                )
+                m = s / jnp.clip(n, 1.0)[..., None]
+                return m.at[sl].get(mode="fill", fill_value=0, indices_are_sorted=True)
+
+            mean = jax.vmap(mean_back)(xyz, valid, slot)
+            feats.append(xyz - mean)
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+        if self.use_relative_xyz:
+            pc0 = jnp.asarray(self.point_cloud_range[:3], xyz.dtype)
+            feats.append(xyz - pc0)
+        out = jnp.concatenate(feats, axis=-1)
+        return jnp.where(valid[..., None], out, 0.0)
+
+
 class MeanVFE(nn.Module):
     """Mean-pool VFE (vfe/mean_vfe.py MeanVFE / RADAR_MeanVFE): per-pillar
     mean of raw point features, no learned layers."""

@@ -52,9 +52,14 @@ def compact_unique(ids: jnp.ndarray, cap: int, sentinel: int):
 
     Note: ``slot`` is aligned with ``jnp.sort(ids)``, not the input order —
     callers that need per-input slots must sort their payloads by
-    ``jnp.argsort(ids)`` first (the VFE does exactly that, once).
+    ``jnp.argsort(ids)`` first (the VFE does exactly that, once) and use
+    :func:`compact_unique_sorted` to skip the redundant sort.
     """
-    ids_s = jnp.sort(ids)
+    return compact_unique_sorted(jnp.sort(ids), cap, sentinel)
+
+
+def compact_unique_sorted(ids_s: jnp.ndarray, cap: int, sentinel: int):
+    """:func:`compact_unique` for ALREADY-SORTED ids (no internal sort)."""
     prev = jnp.concatenate([jnp.full((1,), -1, ids_s.dtype), ids_s[:-1]])
     valid = ids_s < sentinel
     first = (ids_s != prev) & valid
