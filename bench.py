@@ -108,6 +108,23 @@ def main():
         suffix = "_S2D2" if s2d == "2" else "_S2D"
         cfg.BACKBONE_3D.NAME = "PillarRes18BackBone8x" + suffix
         cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x" + suffix
+    # BENCH_AS=radar|both|teacher selects the active-site (gather-scatter)
+    # sparse backbones (ops/active_site.py) — compute scales with occupancy,
+    # not grid area. Overrides BENCH_S2D for the selected branch(es).
+    as_mode = os.environ.get("BENCH_AS", "0")
+    if as_mode in ("radar", "both"):
+        cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x_AS"
+        cfg.RADAR_BACKBONE_3D.MAX_ACTIVE = [
+            int(x) for x in os.environ.get("BENCH_AS_RCAPS", "8192,8192,8192,8192").split(",")
+        ]
+        cfg.RADAR_BACKBONE_3D.DENSE_FROM = int(os.environ.get("BENCH_AS_RDF", "3"))
+    if as_mode in ("teacher", "both"):
+        cfg.BACKBONE_3D.NAME = "PillarRes18BackBone8x_AS"
+        cfg.BACKBONE_3D.MAX_ACTIVE = [
+            int(x) for x in os.environ.get(
+                "BENCH_AS_TCAPS", "131072,98304,65536,32768").split(",")
+        ]
+        cfg.BACKBONE_3D.DENSE_FROM = int(os.environ.get("BENCH_AS_TDF", "3"))
     model = build_network(
         cfg, info, compute_dtype=jnp.bfloat16,
         remat=os.environ.get("BENCH_REMAT", "1") == "1",

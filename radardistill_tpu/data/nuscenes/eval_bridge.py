@@ -158,59 +158,213 @@ def format_nuscene_results(metrics, class_names, version="detection_cvpr_2019"):
 # ---------------------------------------------------------------------------
 
 
+# TP metrics of the detection_cvpr_2019 protocol and the devkit's class
+# exclusions (nuscenes devkit eval/detection/evaluate.py + algo.py; surfaced
+# in the reference's result table, nuscenes_utils.py:588-617)
+TP_METRICS = ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err")
+TP_NAMES = {
+    "trans_err": "mATE", "scale_err": "mASE", "orient_err": "mAOE",
+    "vel_err": "mAVE", "attr_err": "mAAE",
+}
+TP_DIST_THRESH = 2.0  # TP errors are measured at the 2 m matching radius
+MIN_RECALL = 0.1
+MIN_PRECISION = 0.1
+N_ELEM = 101  # 101-point recall grid
+
+
+def _tp_defined(cls, metric):
+    if cls == "barrier" and metric in ("vel_err", "attr_err"):
+        return False
+    if cls == "traffic_cone" and metric in ("orient_err", "vel_err", "attr_err"):
+        return False
+    return True
+
+
+def _angle_diff(a, b, period):
+    d = (a - b + period / 2.0) % period - period / 2.0
+    return abs(float(d))
+
+
+def _scale_iou(gdim, ddim):
+    """Devkit scale_iou: IoU of center/yaw-aligned boxes = prod of min dims
+    over union volume."""
+    gdim = np.maximum(np.asarray(gdim, np.float64), 1e-6)
+    ddim = np.maximum(np.asarray(ddim, np.float64), 1e-6)
+    inter = float(np.prod(np.minimum(gdim, ddim)))
+    union = float(np.prod(gdim)) + float(np.prod(ddim)) - inter
+    return inter / max(union, 1e-9)
+
+
+def _cummean(x):
+    x = np.asarray(x, np.float64)
+    if x.size == 0:
+        return x
+    return np.cumsum(x) / np.arange(1, x.size + 1)
+
+
+def _accumulate(gt_boxes, gt_names, det_boxes, det_scores, det_names, cls,
+                thresh, collect_tp=False):
+    """Devkit algo.py:accumulate — greedy center-distance matching of one
+    class at one threshold, detections visited in global score order.
+
+    Boxes: (N, 7) or (N, 9) [x,y,z,dx,dy,dz,yaw(,vx,vy)].
+    Returns (tp, fp, conf, match_data, n_gt)."""
+    dets = []  # (score, sample_idx, det_row)
+    n_gt = 0
+    gts = []
+    for si, (gb, gn) in enumerate(zip(gt_boxes, gt_names)):
+        gmask = np.asarray(gn) == cls
+        g = np.asarray(gb)[gmask] if len(gb) else np.zeros((0, 7))
+        gts.append(g)
+        n_gt += len(g)
+    for si, (db, ds, dn) in enumerate(zip(det_boxes, det_scores, det_names)):
+        dmask = np.asarray(dn) == cls
+        d = np.asarray(db)[dmask]
+        s = np.asarray(ds)[dmask]
+        for k in range(len(d)):
+            dets.append((float(s[k]), si, d[k]))
+    dets.sort(key=lambda t: -t[0])
+
+    taken = [np.zeros(len(g), bool) for g in gts]
+    tp, fp, conf = [], [], []
+    match_data = {m: [] for m in TP_METRICS}
+    match_data["conf"] = []
+    period = np.pi if cls == "barrier" else 2 * np.pi
+    for score, si, d in dets:
+        g = gts[si]
+        ok, j = False, -1
+        if len(g):
+            dist = np.linalg.norm(g[:, :2] - d[:2], axis=1)
+            dist[taken[si]] = np.inf
+            j = int(np.argmin(dist))
+            ok = bool(dist[j] < thresh)
+        tp.append(1.0 if ok else 0.0)
+        fp.append(0.0 if ok else 1.0)
+        conf.append(score)
+        if ok:
+            taken[si][j] = True
+            if collect_tp:
+                gt_row = g[j]
+                match_data["trans_err"].append(
+                    float(np.linalg.norm(gt_row[:2] - d[:2])))
+                match_data["scale_err"].append(
+                    1.0 - _scale_iou(gt_row[3:6], d[3:6]))
+                match_data["orient_err"].append(
+                    _angle_diff(gt_row[6], d[6], period))
+                gv = gt_row[7:9] if len(gt_row) >= 9 else np.zeros(2)
+                dv = d[7:9] if len(d) >= 9 else np.zeros(2)
+                gv = np.nan_to_num(np.asarray(gv, np.float64))
+                match_data["vel_err"].append(float(np.linalg.norm(gv - dv)))
+                # attributes are not stored in the local infos; both sides
+                # use the velocity heuristic (_attr_for) — this tracks
+                # velocity-driven attribute consistency, not annotator labels
+                match_data["attr_err"].append(
+                    0.0 if _attr_for(cls, (gv[0], gv[1], 0.0))
+                    == _attr_for(cls, (dv[0], dv[1], 0.0)) else 1.0)
+                match_data["conf"].append(score)
+    return (np.asarray(tp), np.asarray(fp), np.asarray(conf), match_data, n_gt)
+
+
+def _calc_ap(prec_interp):
+    """Devkit calc_ap: clip first 10% recall and 10% precision."""
+    p = prec_interp[round(100 * MIN_RECALL) + 1:].copy()
+    p -= MIN_PRECISION
+    p[p < 0] = 0
+    return float(np.mean(p)) / (1.0 - MIN_PRECISION)
+
+
+def detection_metrics(gt_boxes, gt_names, det_boxes, det_scores, det_names,
+                      class_names, dist_threshs=DIST_THRESHS):
+    """Full detection_cvpr_2019 protocol on local-frame boxes: per-class
+    center-distance APs, TP errors (ATE/ASE/AOE/AVE/AAE at 2 m), and NDS.
+
+    Returns a dict shaped like the devkit's metrics_summary.json so
+    `format_nuscene_results` renders it unchanged. Classes without GT are
+    excluded from the means (and reported with AP 0 / err 1).
+    """
+    rec_interp = np.linspace(0, 1, N_ELEM)
+    label_aps = {}
+    label_tp = {}
+    present = []
+    for cls in class_names:
+        aps = {}
+        tp_errs = {m: 1.0 for m in TP_METRICS}
+        n_gt_cls = 0
+        for thresh in dist_threshs:
+            collect = thresh == TP_DIST_THRESH
+            tp, fp, conf, md, n_gt = _accumulate(
+                gt_boxes, gt_names, det_boxes, det_scores, det_names, cls,
+                thresh, collect_tp=collect,
+            )
+            n_gt_cls = n_gt
+            if n_gt == 0:
+                aps[thresh] = 0.0
+                continue
+            if len(tp) == 0:
+                aps[thresh] = 0.0
+                continue
+            tpc, fpc = np.cumsum(tp), np.cumsum(fp)
+            prec = tpc / np.maximum(tpc + fpc, 1e-9)
+            rec = tpc / n_gt
+            prec_i = np.interp(rec_interp, rec, prec, right=0)
+            conf_i = np.interp(rec_interp, rec, conf, right=0)
+            aps[thresh] = _calc_ap(prec_i)
+            if collect and len(md["conf"]):
+                nz = np.nonzero(conf_i)[0]
+                last_ind = int(nz[-1]) if len(nz) else 0
+                first_ind = round(100 * MIN_RECALL) + 1
+                for m in TP_METRICS:
+                    # devkit: cummean over TP events, interpolated onto the
+                    # recall grid via the confidence curve
+                    tmp = _cummean(md[m])
+                    curve = np.interp(
+                        conf_i[::-1], np.asarray(md["conf"])[::-1],
+                        tmp[::-1])[::-1]
+                    if last_ind < first_ind:
+                        tp_errs[m] = 1.0
+                    else:
+                        tp_errs[m] = float(
+                            np.mean(curve[first_ind:last_ind + 1]))
+        label_aps[cls] = aps
+        label_tp[cls] = tp_errs
+        if n_gt_cls > 0:
+            present.append(cls)
+
+    mean_dist_aps = {
+        c: float(np.mean(list(label_aps[c].values()))) for c in class_names
+    }
+    mean_ap = (
+        float(np.mean([mean_dist_aps[c] for c in present])) if present else 0.0
+    )
+    tp_errors = {}
+    for m in TP_METRICS:
+        vals = [label_tp[c][m] for c in present if _tp_defined(c, m)]
+        tp_errors[m] = float(np.mean(vals)) if vals else 1.0
+    # NDS = (5*mAP + sum_m (1 - min(1, mTP_m))) / 10 (devkit DetectionMetrics)
+    tp_scores = {m: max(0.0, 1.0 - min(1.0, v)) for m, v in tp_errors.items()}
+    nd_score = (5.0 * mean_ap + sum(tp_scores.values())) / (5.0 + len(TP_METRICS))
+    return {
+        "label_aps": label_aps,
+        "mean_dist_aps": mean_dist_aps,
+        "mean_ap": mean_ap,
+        "label_tp_errors": label_tp,
+        "tp_errors": tp_errors,
+        "tp_scores": tp_scores,
+        "nd_score": float(nd_score),
+    }
+
+
 def center_distance_ap(gt_boxes, gt_names, det_boxes, det_scores, det_names,
                        class_names, dist_threshs=DIST_THRESHS):
-    """Self-contained nuScenes-style center-distance AP.
-
-    gt_boxes/det_boxes: lists (per sample) of (N, 7+) arrays in a common
-    frame. AP is the normalized area under the P/R curve with the official
-    101-point integration clipped at recall/precision 0.1.
-    """
-    aps = {}
+    """Per-class center-distance APs only (back-compat wrapper over
+    detection_metrics; classes with no GT are omitted)."""
+    m = detection_metrics(gt_boxes, gt_names, det_boxes, det_scores,
+                          det_names, class_names, dist_threshs)
+    out = {}
     for cls in class_names:
-        for thresh in dist_threshs:
-            tps, fps, scores_all = [], [], []
-            n_gt = 0
-            for gb, gn, db, ds, dn in zip(gt_boxes, gt_names, det_boxes, det_scores, det_names):
-                gmask = np.asarray(gn) == cls
-                g = gb[gmask][:, :2] if len(gb) else np.zeros((0, 2))
-                n_gt += len(g)
-                dmask = np.asarray(dn) == cls
-                d = db[dmask][:, :2]
-                s = ds[dmask]
-                order = np.argsort(-s)
-                d, s = d[order], s[order]
-                taken = np.zeros(len(g), bool)
-                for i in range(len(d)):
-                    if len(g):
-                        dist = np.linalg.norm(g - d[i], axis=1)
-                        dist[taken] = np.inf
-                        j = int(np.argmin(dist))
-                        ok = dist[j] < thresh
-                    else:
-                        ok = False
-                    tps.append(1.0 if ok else 0.0)
-                    fps.append(0.0 if ok else 1.0)
-                    scores_all.append(s[i])
-                    if ok:
-                        taken[j] = True
-            if n_gt == 0:
-                continue
-            if not scores_all:
-                aps.setdefault(cls, {})[thresh] = 0.0
-                continue
-            order = np.argsort(-np.asarray(scores_all))
-            tp = np.cumsum(np.asarray(tps)[order])
-            fp = np.cumsum(np.asarray(fps)[order])
-            prec = tp / np.maximum(tp + fp, 1e-9)
-            rec = tp / n_gt
-            # official 101-point interp with 0.1 clips
-            rec_interp = np.linspace(0, 1, 101)
-            p = np.interp(rec_interp, rec, prec, right=0)
-            p = p[rec_interp >= 0.1]
-            p = np.maximum(p - 0.1, 0) / 0.9
-            aps.setdefault(cls, {})[thresh] = float(np.mean(p))
-    return aps
+        if any(np.sum(np.asarray(gn) == cls) for gn in gt_names):
+            out[cls] = m["label_aps"][cls]
+    return out
 
 
 def _fallback_eval(dataset, det_annos, class_names, output_path):
@@ -225,16 +379,14 @@ def _fallback_eval(dataset, det_annos, class_names, output_path):
         det_boxes.append(det["pred_boxes"])
         det_scores.append(det["pred_scores"])
         det_names.append(det["name"])
-    aps = center_distance_ap(gt_boxes, gt_names, det_boxes, det_scores, det_names, class_names)
-    mean_aps = {c: float(np.mean(list(v.values()))) for c, v in aps.items()}
-    mAP = float(np.mean(list(mean_aps.values()))) if mean_aps else 0.0
-    result = "---------------- Internal center-distance AP (devkit absent) ----------------\n"
-    for c, v in mean_aps.items():
-        result += f"{c}: mean AP {v:.4f}\n"
-    result += f"mAP:\t {mAP:.4f}\n"
-    details = {"mAP": mAP, **{f"AP_{c}": v for c, v in mean_aps.items()}}
+    metrics = detection_metrics(
+        gt_boxes, gt_names, det_boxes, det_scores, det_names, class_names
+    )
+    result, details = format_nuscene_results(
+        metrics, class_names, version="internal center-distance (devkit absent)"
+    )
     out = Path(output_path)
     out.mkdir(parents=True, exist_ok=True)
     with open(out / "metrics_internal.json", "w") as f:
-        json.dump(details, f, indent=2)
+        json.dump(metrics, f, indent=2)
     return result, details

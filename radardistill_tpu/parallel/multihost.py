@@ -3,24 +3,58 @@
 Reference mechanism: merge_results_dist — every rank pickles its detection
 list to a shared tmpdir, rank 0 concatenates after a barrier
 (pcdet/utils/common_utils.py:236-257), plus object all_gather over NCCL
-(commu_utils.py:50-112).
+(commu_utils.py:50-112 all_gather_object / average_reduce_value).
 
-TPU-native: `multihost_utils.process_allgather` moves fixed-shape arrays over
-ICI/DCN — no filesystem rendezvous. Python-object metadata (frame ids) rides
-along as fixed-length encoded arrays when needed; in practice each host keeps
-its own slice's metadata locally and only aggregate metrics need gathering.
+TPU-native: no filesystem rendezvous — each host pickles its local list and
+the bytes ride an ICI/DCN allgather as padded uint8 arrays
+(`multihost_utils.process_allgather`). This preserves the reference's
+semantics exactly: arbitrary per-sample dicts (variable-length boxes,
+`name`, `frame_id`, nested `metadata`) survive the merge, concatenated in
+process-id order.
 """
 
 from __future__ import annotations
 
+import pickle
+
 import numpy as np
+
+
+def _allgather_bytes(payload: bytes):
+    """All-gather one bytes blob per process; returns list of blobs in
+    process-id order. Two collectives: lengths, then max-padded data."""
+    from jax.experimental import multihost_utils
+
+    data = np.frombuffer(payload, np.uint8)
+    lens = multihost_utils.process_allgather(
+        np.asarray([data.size], np.int64), tiled=False
+    ).reshape(-1)
+    padded = np.zeros(int(lens.max()), np.uint8)
+    padded[: data.size] = data
+    gathered = multihost_utils.process_allgather(padded, tiled=False)
+    gathered = np.asarray(gathered).reshape(lens.size, -1)
+    return [gathered[p, : int(lens[p])].tobytes() for p in range(lens.size)]
+
+
+def all_gather_object(obj):
+    """Gather one arbitrary picklable object per process to every process
+    (reference: commu_utils.all_gather_object over NCCL). Returns a list of
+    length process_count() in process-id order."""
+    import jax
+
+    if jax.process_count() == 1:
+        return [obj]
+    return [pickle.loads(b) for b in _allgather_bytes(pickle.dumps(obj))]
 
 
 def gather_detections(det_annos, axis_hint=None):
     """Gather per-host detection lists to every host.
 
-    det_annos: list of per-sample dicts of numpy arrays (host-local).
-    Returns the concatenated list across processes (order: process id).
+    det_annos: list of per-sample dicts (numpy arrays + python metadata),
+    exactly as produced by ``generate_prediction_dicts``. Returns the
+    concatenation across processes in process-id order — semantics equal to
+    the reference's merge_results_dist (common_utils.py:236-257), which
+    pickles the full dicts: nothing is projected out, no box-count cap.
     Single-process: identity.
     """
     import jax
@@ -28,44 +62,16 @@ def gather_detections(det_annos, axis_hint=None):
     if jax.process_count() == 1:
         return det_annos
 
-    from jax.experimental import multihost_utils
-
-    # pad the per-host sample count to the max across hosts
-    n_local = len(det_annos)
-    counts = multihost_utils.process_allgather(np.asarray([n_local]))
-    n_max = int(np.max(counts))
-
-    def pack(key, dim):
-        arrs = []
-        for d in det_annos:
-            a = np.asarray(d[key], np.float32).reshape(len(d[key]), -1)
-            pad = np.zeros((512 - len(a), a.shape[1]), np.float32)
-            arrs.append(np.concatenate([a[:512], pad]))
-        while len(arrs) < n_max:
-            arrs.append(np.zeros((512, dim), np.float32))
-        return np.stack(arrs)
-
-    boxes = multihost_utils.process_allgather(pack("pred_boxes", 9))
-    scores = multihost_utils.process_allgather(pack("pred_scores", 1))
-    labels = multihost_utils.process_allgather(pack("pred_labels", 1))
-    lens = multihost_utils.process_allgather(
-        np.asarray([min(len(d["pred_boxes"]), 512) for d in det_annos] + [0] * (n_max - n_local))
-    )
-
     out = []
-    for p in range(boxes.shape[0]):
-        for i in range(int(counts[p])):
-            k = int(lens[p, i])
-            out.append({
-                "pred_boxes": boxes[p, i, :k],
-                "pred_scores": scores[p, i, :k, 0],
-                "pred_labels": labels[p, i, :k, 0].astype(np.int64),
-            })
+    for part in all_gather_object(list(det_annos)):
+        out.extend(part)
     return out
 
 
 def psum_scalar(value: float) -> float:
-    """Cross-host scalar sum (commu_utils.average_reduce_value equivalent)."""
+    """Cross-host scalar SUM — for additive counters (recall numerators,
+    sample counts). NOTE: the reference's average_reduce_value AVERAGES;
+    use `pmean_scalar` for that semantic."""
     import jax
 
     if jax.process_count() == 1:
@@ -73,3 +79,15 @@ def psum_scalar(value: float) -> float:
     from jax.experimental import multihost_utils
 
     return float(np.sum(multihost_utils.process_allgather(np.asarray([value]))))
+
+
+def pmean_scalar(value: float) -> float:
+    """Cross-host scalar MEAN (reference: commu_utils.average_reduce_value,
+    used for loss logging in the DDP train loop)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+
+    return float(np.mean(multihost_utils.process_allgather(np.asarray([value]))))

@@ -57,6 +57,7 @@ def eval_one_epoch(
     recall_dict: Dict = {}
     t_infer = []
     n_samples = 0
+    seen_frames = set()  # fixed-shape batches wrap the tail (loader.py:82-84)
 
     for batch, host in dataloader:
         t0 = time.perf_counter()
@@ -69,11 +70,18 @@ def eval_one_epoch(
             eng.process_batch(out, batch)
 
         annos = dataset.generate_prediction_dicts(host, fb)
-        det_annos.extend(annos)
-        bsz = fb["boxes"].shape[0]
-        n_samples += bsz
         gt = np.asarray(batch["gt_boxes"]) if "gt_boxes" in batch else None
-        for i in range(bsz):
+        for i, anno in enumerate(annos):
+            # dedup wrap-padded samples by frame id so recall counters and
+            # downstream AP see each frame once (the reference instead uses
+            # a non-padding eval sampler, pcdet/datasets/__init__.py:41-61)
+            fid = anno.get("frame_id")
+            if fid is not None:
+                if fid in seen_frames:
+                    continue
+                seen_frames.add(fid)
+            det_annos.append(anno)
+            n_samples += 1
             if gt is None:
                 continue
             gt_valid = gt[i][gt[i][:, -1] > 0]

@@ -68,3 +68,45 @@ def test_train_model_hook_and_ckpts(tmp_path):
     # per-epoch checkpoints exist
     assert (tmp_path / "checkpoint_epoch_1").exists()
     assert (tmp_path / "checkpoint_epoch_2").exists()
+
+
+def test_eval_dedups_wrapped_samples():
+    """Fixed-shape eval batches wrap the tail (loader.py:82-84); the eval
+    loop must count each frame once in det_annos AND recall counters
+    (reference avoids wrap via a non-padding sampler,
+    pcdet/datasets/__init__.py:41-61)."""
+    from radardistill_tpu.data.dataset import DatasetTemplate
+    from radardistill_tpu.train.eval_utils import eval_one_epoch
+
+    class StubDS:
+        class_names = ["car"]
+        generate_prediction_dicts = DatasetTemplate.generate_prediction_dicts
+
+    def fake_batch(frame_ids):
+        b = len(frame_ids)
+        batch = {"gt_boxes": np.zeros((b, 2, 10), np.float32)}
+        batch["gt_boxes"][:, 0, 3:6] = 2.0
+        batch["gt_boxes"][:, 0, 9] = 1.0  # one valid GT per sample
+        host = {"frame_id": list(frame_ids)}
+        return batch, host
+
+    def model_apply(params, batch_stats, batch):
+        b = batch["gt_boxes"].shape[0]
+        boxes = np.zeros((b, 4, 9), np.float32)
+        boxes[:, 0, 3:6] = 2.0  # one exact match of the GT box
+        valid = np.zeros((b, 4), bool)
+        valid[:, 0] = True
+        return {"final_box_dicts": {
+            "boxes": boxes,
+            "scores": np.full((b, 4), 0.9, np.float32),
+            "labels": np.ones((b, 4), np.int64),
+            "valid": valid,
+        }}
+
+    # 5 frames, batch 2 -> last batch wraps frame "a"
+    loader = [fake_batch(["a", "b"]), fake_batch(["c", "d"]), fake_batch(["e", "a"])]
+    det_annos, recall, _ = eval_one_epoch(
+        model_apply, {}, {}, loader, StubDS(), thresh_list=(0.3,))
+    assert [d["frame_id"] for d in det_annos] == ["a", "b", "c", "d", "e"]
+    assert recall["gt"] == 5  # NOT 6: wrapped frame not double-counted
+    assert recall["recall_rcnn_0.3"] == 5

@@ -37,6 +37,9 @@ def parse_config():
     parser.add_argument("--ckpt_save_interval", type=int, default=1)
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
     parser.add_argument("--merge_all_iters_to_one_epoch", action="store_true")
+    parser.add_argument("--num_epochs_to_eval", type=int, default=1,
+                        help="post-train: evaluate the checkpoints of the last N epochs "
+                             "(reference tools/train.py:241-259; 0 disables)")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no-bf16", dest="bf16", action="store_false")
@@ -187,13 +190,45 @@ def main():
         logger.info(f"profiler trace written to {args.profile_dir}")
 
     logger.info("**********************Start training**********************")
-    train_model(
+    state = train_model(
         jstep, state, train_loader, lr_sched, cfg, epochs, ckpt_dir,
         start_epoch=start_epoch, logger=logger, tb_writer=tb,
         ckpt_save_interval=args.ckpt_save_interval,
         max_ckpt_save_num=args.max_ckpt_save_num, shard_fn=shard_fn,
     )
     logger.info("**********************Training done**********************")
+
+    # post-train sweep: evaluate the last N epochs' checkpoints
+    # (reference tools/train.py:241-259 -> repeat_eval_ckpt with
+    # start_epoch = epochs - num_epochs_to_eval)
+    if args.num_epochs_to_eval > 0:
+        from tools.test import eval_ckpt
+
+        logger.info("**********************Start evaluation**********************")
+        test_set, test_loader = build_dataloader(
+            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size,
+            root_path=cfg.DATA_CONFIG.get("DATA_PATH", None),
+            logger=logger, training=False,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        )
+        eval_output_dir = output_dir / "eval" / "eval_with_train"
+        eval_output_dir.mkdir(parents=True, exist_ok=True)
+        eval_args = argparse.Namespace(
+            cal_params=False, infer_time=False, bev_similarity=None,
+            sim_pooling="center",
+        )
+        first_eval_epoch = max(epochs - args.num_epochs_to_eval, 0)
+        for e in sorted(ckpt_mgr.list_epochs()):
+            if e <= first_eval_epoch:
+                continue
+            restored = ckpt_mgr.restore(state, epoch=e)
+            if restored is None:
+                continue
+            st, _, _ = restored
+            result = eval_ckpt(eval_args, cfg, st, model, test_set, test_loader,
+                               logger, eval_output_dir, f"epoch_{e}")
+            logger.info(f"eval_with_train epoch {e}: {result}")
+        logger.info("**********************End evaluation**********************")
 
 
 if __name__ == "__main__":
