@@ -44,8 +44,21 @@ def create_train_state(model, tx, sample_batch, rng=None) -> TrainState:
     )
 
 
-def make_train_step(model, tx, model_cfg, class_names, voxel_size, point_cloud_range):
-    """Returns train_step(state, batch) -> (state, metrics). jit-able."""
+def make_train_step(model, tx, model_cfg, class_names, voxel_size, point_cloud_range,
+                    mesh=None, sync_bn=True, axis_name="dp"):
+    """Returns train_step(state, batch) -> (state, metrics). jit-able.
+
+    BN semantics under data parallelism:
+      sync_bn=True (default): the step is jitted with GSPMD shardings over
+        the global batch, so BN statistics reduce over ALL replicas — the
+        reference's --sync_bn (tools/train.py:144-145), on by default here.
+      sync_bn=False + mesh: the per-replica step runs under shard_map, so BN
+        normalizes with LOCAL-shard statistics (the reference DDP *default*:
+        per-GPU BatchNorm, no SyncBN conversion) while gradients pmean over
+        the mesh (the DDP allreduce). Running stats are pmean-averaged so the
+        replicated TrainState stays consistent (DDP ranks drift tiny amounts
+        and checkpoints save rank 0; averaging is the deterministic analog).
+    """
 
     def loss_fn(params, batch_stats, batch):
         out, mutated = model.apply(
@@ -59,10 +72,11 @@ def make_train_step(model, tx, model_cfg, class_names, voxel_size, point_cloud_r
         )
         return loss, (mutated.get("batch_stats", batch_stats), tb)
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+    def _step_core(state: TrainState, batch, reduce_fn):
         (loss, (new_bs, tb)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch
         )
+        grads, new_bs, loss, tb = reduce_fn(grads, new_bs, loss, tb)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -74,7 +88,30 @@ def make_train_step(model, tx, model_cfg, class_names, voxel_size, point_cloud_r
         metrics = {"loss": loss, **tb}
         return new_state, metrics
 
-    return train_step
+    if sync_bn or mesh is None or len(mesh.devices.flat) == 1:
+        def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+            return _step_core(state, batch, lambda g, bs, l, tb: (g, bs, l, tb))
+
+        return train_step
+
+    from jax.sharding import PartitionSpec as P
+
+    def per_replica_step(state, batch):
+        def reduce_fn(grads, new_bs, loss, tb):
+            pm = lambda t: jax.tree.map(
+                lambda x: jax.lax.pmean(x, axis_name), t
+            )
+            return pm(grads), pm(new_bs), pm(loss), pm(tb)
+
+        return _step_core(state, batch, reduce_fn)
+
+    return jax.shard_map(
+        per_replica_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
 
 
 def make_eval_step(model):

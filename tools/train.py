@@ -37,6 +37,10 @@ def parse_config():
     parser.add_argument("--ckpt_save_interval", type=int, default=1)
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
     parser.add_argument("--merge_all_iters_to_one_epoch", action="store_true")
+    parser.add_argument("--sync_bn", type=int, choices=(0, 1), default=None,
+                        help="1: global-batch BN (our default; reference --sync_bn). "
+                             "0: per-replica BN statistics (reference DDP default). "
+                             "Overrides OPTIMIZATION.SYNC_BN.")
     parser.add_argument("--num_epochs_to_eval", type=int, default=1,
                         help="post-train: evaluate the checkpoints of the last N epochs "
                              "(reference tools/train.py:241-259; 0 disables)")
@@ -151,10 +155,18 @@ def main():
     dp = NamedSharding(mesh, P("dp"))
     state = jax.device_put(state, repl)
 
+    # SYNC_BN True (default): global-batch BN via GSPMD (reference --sync_bn).
+    # False: per-replica BN statistics via shard_map (reference DDP default) —
+    # the parity-debug switch for reference-default numerics.
+    sync_bn = (bool(cfg.OPTIMIZATION.get("SYNC_BN", True))
+               if args.sync_bn is None else bool(args.sync_bn))
     step_fn = make_train_step(
         model, tx, cfg.MODEL, tuple(cfg.CLASS_NAMES),
         dataset_info["voxel_size"], dataset_info["point_cloud_range"],
+        mesh=mesh, sync_bn=sync_bn,
     )
+    if not sync_bn:
+        logger.info("SYNC_BN=False: per-replica BN statistics (shard_map DDP step)")
     jstep = jax.jit(step_fn, in_shardings=(repl, dp), out_shardings=(repl, repl),
                     donate_argnums=(0,))
 
