@@ -42,6 +42,29 @@ class DataBaseSampler:
             for cls, lst in infos.items():
                 self.db_infos.setdefault(cls, []).extend(lst)
 
+        # integrated-database fast path (reference USE_SHARED_MEMORY +
+        # DB_DATA_PATH, database_sampler_distill.py:70-85 / :169-178):
+        # instead of SharedArray shm segments, mmap the packed .npy —
+        # the page cache is shared by every dataloader worker process.
+        self.db_data = self.db_data_radar = None
+        if sampler_cfg.get("USE_SHARED_MEMORY", False):
+            paths = list(sampler_cfg.get("DB_DATA_PATH", []))
+            assert len(paths) >= 1, "USE_SHARED_MEMORY needs DB_DATA_PATH"
+            self.db_data = np.load(str(self.root_path / paths[0]), mmap_mode="r")
+            radar_p = (
+                Path(paths[1]) if len(paths) > 1
+                else Path(paths[0]).with_name(Path(paths[0]).stem + "_radar.npy")
+            )
+            if distill and (self.root_path / radar_p).exists():
+                self.db_data_radar = np.load(
+                    str(self.root_path / radar_p), mmap_mode="r"
+                )
+            if self.logger:
+                self.logger.info(
+                    f"GT-DB integrated array mmapped: {paths[0]} "
+                    f"(radar: {self.db_data_radar is not None})"
+                )
+
         for func_name, val in sampler_cfg.get("PREPARE", {}).items():
             self.db_infos = getattr(self, func_name)(self.db_infos, val)
 
@@ -111,14 +134,23 @@ class DataBaseSampler:
         return out
 
     def _load_crop(self, info):
-        pts = np.fromfile(
-            str(self.root_path / info["path"]), dtype=np.float32
-        ).reshape(-1, self.num_point_features)
+        if self.db_data is not None and "global_data_offset" in info:
+            s, e = info["global_data_offset"]
+            pts = np.array(self.db_data[s:e], np.float32)
+        else:
+            pts = np.fromfile(
+                str(self.root_path / info["path"]), dtype=np.float32
+            ).reshape(-1, self.num_point_features)
         radar = None
         if self.distill:
-            radar = np.fromfile(
-                str(self.root_path / info["radar_path"]), dtype=np.float32
-            ).reshape(-1, 6)
+            if (self.db_data_radar is not None
+                    and "radar_global_data_offset" in info):
+                s, e = info["radar_global_data_offset"]
+                radar = np.array(self.db_data_radar[s:e], np.float32)
+            else:
+                radar = np.fromfile(
+                    str(self.root_path / info["radar_path"]), dtype=np.float32
+                ).reshape(-1, 6)
         return pts, radar
 
     def __call__(self, data_dict):

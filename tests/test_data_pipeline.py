@@ -171,3 +171,60 @@ def test_sampler_rejects_overlapping_candidates(tmp_path):
     # only the non-colliding candidate was added
     assert len(out["gt_boxes"]) == 2
     np.testing.assert_allclose(out["gt_boxes"][1, :2], [10, 10])
+
+
+def test_integrated_database_roundtrip(tmp_path):
+    """create_integrated_database packs crops + offsets; the sampler's
+    USE_SHARED_MEMORY mmap path must load byte-identical crops (reference:
+    process_tools/create_integrated_database.py:1-86 +
+    database_sampler_distill.py:169-178)."""
+    import argparse
+    import pickle
+
+    from radardistill_tpu.data.sampler import DataBaseSampler
+    from tools.process_tools.create_integrated_database import (
+        create_integrated_db_with_infos,
+    )
+
+    rng = np.random.RandomState(3)
+    (tmp_path / "crops").mkdir()
+    db = {"car": [], "truck": []}
+    for i, cls in enumerate(["car", "car", "truck"]):
+        pts = rng.randn(4 + i, 5).astype(np.float32)
+        radar = rng.randn(2 + i, 6).astype(np.float32)
+        pts.tofile(tmp_path / "crops" / f"c{i}.bin")
+        radar.tofile(tmp_path / "crops" / f"r{i}.bin")
+        db[cls].append({
+            "name": cls, "path": f"crops/c{i}.bin", "radar_path": f"crops/r{i}.bin",
+            "box3d_lidar": np.array([i * 10, 0, 0, 2, 2, 2, 0, 0, 0], np.float32),
+            "num_points_in_gt": 4 + i, "num_radar_points_in_gt": 2 + i,
+        })
+    with open(tmp_path / "db.pkl", "wb") as f:
+        pickle.dump(db, f)
+
+    args = argparse.Namespace(
+        src_db_info=str(tmp_path / "db.pkl"), new_db_name="gt_global",
+        num_point_features=5, num_radar_features=6,
+    )
+    create_integrated_db_with_infos(args, tmp_path)
+    assert (tmp_path / "gt_global.npy").exists()
+    assert (tmp_path / "gt_global_radar.npy").exists()
+
+    base_cfg = {
+        "DB_INFO_PATH": ["db.pkl"], "PREPARE": {},
+        "SAMPLE_GROUPS": ["car:1"], "NUM_POINT_FEATURES": 5,
+        "REMOVE_EXTRA_WIDTH": [0, 0, 0], "LIMIT_WHOLE_SCENE": False,
+    }
+    s_file = DataBaseSampler(tmp_path, dict(base_cfg), ["car"], distill=True)
+    s_mmap = DataBaseSampler(
+        tmp_path,
+        {**base_cfg, "USE_SHARED_MEMORY": True, "DB_DATA_PATH": ["gt_global.npy"]},
+        ["car"], distill=True,
+    )
+    assert s_mmap.db_data is not None and s_mmap.db_data_radar is not None
+    for cls in ("car", "truck"):
+        for info_f, info_m in zip(s_file.db_infos[cls], s_mmap.db_infos[cls]):
+            p_f, r_f = s_file._load_crop(info_f)
+            p_m, r_m = s_mmap._load_crop(info_m)
+            np.testing.assert_array_equal(p_f, p_m)
+            np.testing.assert_array_equal(r_f, r_m)

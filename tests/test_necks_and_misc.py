@@ -74,3 +74,33 @@ def test_multihost_single_process_passthrough():
               "pred_labels": np.ones(3, np.int64)}]
     assert gather_detections(annos) is annos
     assert psum_scalar(2.5) == 2.5
+
+
+def test_app_renderer():
+    """tools/app.py geometry + grid render (reference tools/app.py:75-132)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from tools.app import bev_corners_xy, gt_for_frame, pred_for_idx, render_grid, world_to_pixels
+
+    c = bev_corners_xy(np.array([1.0, 2.0, 0.0, 4.0, 2.0, 1.0, 0.0, 0, 0]))
+    np.testing.assert_allclose(c.mean(axis=0), [1.0, 2.0], atol=1e-6)
+    np.testing.assert_allclose(np.sort(c[:, 0]), [-1, -1, 3, 3], atol=1e-6)
+
+    # 90° yaw swaps the extents
+    c = bev_corners_xy(np.array([0, 0, 0, 4.0, 2.0, 1.0, np.pi / 2, 0, 0]))
+    assert abs(c[:, 1].max() - c[:, 1].min() - 4.0) < 1e-6
+
+    px = world_to_pixels(np.array([[-54.0, -54.0], [54.0, 54.0]]), (800, 800))
+    np.testing.assert_allclose(px, [[0, 799], [799, 0]], atol=1e-6)
+
+    det = [{"pred_boxes": np.array([[5, 5, 0, 4, 2, 1.5, 0.3, 0, 0]], np.float32),
+            "pred_scores": np.array([0.9], np.float32), "frame_id": "f0"}]
+    gt = [{"gt_boxes": np.array([[5, 5, 0, 4, 2, 1.5, 0.3, 0, 0]], np.float32),
+           "frame_id": "f0"}]
+    b, s = pred_for_idx(det, 0, 0.5)
+    assert len(b) == 1
+    b, s = pred_for_idx(det, 0, 0.95)
+    assert len(b) == 0
+    assert len(gt_for_frame(gt, "f0", 0)) == 1
+    fig = render_grid({"student": det, "baseline": det}, gt, 0, 0.3)
+    assert fig is not None

@@ -98,8 +98,27 @@ def eval_ckpt(args, cfg, state, model, test_set, test_loader, logger, output_dir
     from radardistill_tpu.parallel.multihost import gather_detections
 
     det_annos = gather_detections(det_annos)
+    # persist raw detections (+GT when available) for tools/app.py and
+    # offline analysis — reference eval_utils.py result.pkl dump
+    import jax as _jax
+    import pickle
+
+    eval_dir = output_dir / f"eval_{epoch_tag}"
+    eval_dir.mkdir(parents=True, exist_ok=True)
+    if _jax.process_index() == 0:
+        with open(eval_dir / "result.pkl", "wb") as f:
+            pickle.dump(det_annos, f)
+        infos = getattr(test_set, "infos", None)
+        if infos and "gt_boxes" in (infos[0] or {}):
+            gt_list = [
+                {"gt_boxes": i.get("gt_boxes"), "gt_names": i.get("gt_names"),
+                 "frame_id": i.get("token", i.get("frame_id"))}
+                for i in infos
+            ]
+            with open(eval_dir / "gt_annos_list.pkl", "wb") as f:
+                pickle.dump(gt_list, f)
     result_str, result_dict = test_set.evaluation(
-        det_annos, cfg.CLASS_NAMES, output_path=str(output_dir / f"eval_{epoch_tag}")
+        det_annos, cfg.CLASS_NAMES, output_path=str(eval_dir)
     )
     logger.info(result_str)
     return result_dict
