@@ -58,6 +58,12 @@ class DataLoader:
     def set_epoch(self, epoch):
         self.epoch = epoch
 
+    def set_start_iter(self, n: int):
+        """Skip the first n batches of the NEXT epoch only (mid-epoch
+        resume; reference train_one_epoch continues at accumulated_iter).
+        Index-level skip: skipped samples are never built/collated."""
+        self._start_iter = int(n)
+
     def _indices(self):
         n = len(self.dataset)
         idx = np.arange(n)
@@ -77,7 +83,7 @@ class DataLoader:
     def _iter_serial(self):
         idx = self._indices()
         nb = len(self)
-        for b in range(nb):
+        for b in range(self._consume_start_iter(), nb):
             chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
             if len(chunk) < self.batch_size and not self.drop_last:
                 # pad by wrapping (fixed batch shape for one compiled program)
@@ -105,6 +111,7 @@ class DataLoader:
             idx = idx[: nb * self.batch_size]
         elif len(idx) < nb * self.batch_size:
             idx = np.concatenate([idx, idx[: nb * self.batch_size - len(idx)]])
+        idx = idx[self._consume_start_iter() * self.batch_size:]
 
         loader = tud.DataLoader(
             _Wrap(), batch_size=self.batch_size, sampler=idx.tolist(),
@@ -114,6 +121,11 @@ class DataLoader:
         for batch in loader:
             host = batch.pop("_host", None)
             yield batch, host
+
+    def _consume_start_iter(self) -> int:
+        n = getattr(self, "_start_iter", 0)
+        self._start_iter = 0
+        return min(n, len(self))
 
     def _iter_base(self):
         if self.workers > 0:

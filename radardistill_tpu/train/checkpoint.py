@@ -106,14 +106,29 @@ class CheckpointManager:
         structure doesn't match (e.g. evaluating with a different optimizer),
         falls back to a params/batch_stats-only overlay."""
         epochs = self.list_epochs() if epoch is None else [epoch]
+        candidates = [self._path(e) for e in reversed(epochs)]
+        if epoch is None:
+            # the time-interval mid-epoch save resumes with highest priority
+            # when it is the newest file (train_utils.py:143-151 latest_model)
+            latest = self._path("latest")
+            if latest.exists():
+                newest = max(
+                    (p.stat().st_mtime for p in candidates if p.exists()),
+                    default=0.0,
+                )
+                if latest.stat().st_mtime >= newest:
+                    candidates.insert(0, latest)
+                else:
+                    candidates.append(latest)
         template = {
             "state": state_template,
             "epoch": np.asarray(0),
             "it": np.asarray(0),
             "version": "radardistill_tpu+0.1.0",
         }
-        for e in reversed(epochs):
-            path = self._path(e)
+        for path in candidates:
+            if not path.exists():
+                continue
             try:
                 payload = self._ckptr.restore(path.absolute(), item=template)
                 return payload["state"], int(payload["epoch"]), int(payload["it"])

@@ -51,8 +51,12 @@ def train_model(
     ckpt_save_time_interval: float = 300.0,
     shard_fn=None,
     log_interval: int = 50,
+    start_it: int = 0,
 ):
-    """Returns final state. `shard_fn(batch)` device_puts with DP sharding."""
+    """Returns final state. `shard_fn(batch)` device_puts with DP sharding.
+    `start_it`: mid-epoch resume point within `start_epoch` (reference
+    train_one_epoch continues at accumulated_iter after a latest_model
+    resume, train_utils.py:158-251)."""
     ckpt_mgr = CheckpointManager(ckpt_dir, max_ckpt_save_num)
     hook_cfg = cfg.get("HOOK", {}).get("DisableAugmentationHook", None)
 
@@ -62,6 +66,11 @@ def train_model(
     for epoch in range(start_epoch, total_epochs):
         disable_augmentation_hook(hook_cfg, train_loader, total_epochs, epoch, cfg, logger)
         train_loader.set_epoch(epoch)
+        if epoch == start_epoch and start_it > 0:
+            if hasattr(train_loader, "set_start_iter"):
+                train_loader.set_start_iter(start_it)
+                if logger:
+                    logger.info(f"mid-epoch resume: skipping {start_it} iters of epoch {epoch}")
         t_end = time.time()
         for i, (batch, _host) in enumerate(train_loader):
             data_meter.update(time.time() - t_end)

@@ -64,3 +64,27 @@ def test_restore_specific_epoch(tmp_path):
     mgr.save(make_state(2), epoch=2)
     state, epoch, _ = mgr.restore(make_state(0), epoch=1)
     assert epoch == 1
+
+
+def test_restore_prefers_newer_latest(tmp_path):
+    """The time-interval 'latest' save resumes with priority when newest —
+    mid-epoch resume (reference latest_model, train_utils.py:143-151)."""
+    import time as _time
+
+    mgr = CheckpointManager(tmp_path, max_ckpt_save_num=5)
+    mgr.save(jax.device_get(make_state(3)), epoch=2, it=20)
+    _time.sleep(0.05)
+    mgr.save(jax.device_get(make_state(7)), epoch=2, it=27, tag="latest")
+
+    restored = mgr.restore(make_state(0))
+    assert restored is not None
+    st, epoch, it = restored
+    assert (epoch, it) == (2, 27)
+    want = np.asarray(jax.tree.leaves(make_state(7).params)[0])
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(st.params)[0]), want)
+
+    # when a numeric ckpt is newer than latest, it wins
+    _time.sleep(0.05)
+    mgr.save(jax.device_get(make_state(9)), epoch=3, it=30)
+    st, epoch, it = mgr.restore(make_state(0))
+    assert (epoch, it) == (3, 30)

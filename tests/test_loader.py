@@ -59,3 +59,21 @@ def test_worker_loader_matches_serial():
     for (b_s, h_s), (b_w, h_w) in zip(serial, workers):
         assert h_s["frame_id"] == h_w["frame_id"]
         np.testing.assert_allclose(b_s["points"], b_w["points"])
+
+
+def test_set_start_iter_skips_batches():
+    """Mid-epoch resume: the loader must skip the first n batches at the
+    index level (serial and worker paths), then reset for later epochs."""
+    ds, loader = build_dataloader(SMOKE_DATA_CFG, CLASSES, batch_size=2, training=False)
+    full = [h["frame_id"] for _, h in loader]
+    loader.set_start_iter(2)
+    skipped = [h["frame_id"] for _, h in loader]
+    assert skipped == full[2:]
+    # one-shot: the following epoch is complete again
+    assert [h["frame_id"] for _, h in loader] == full
+
+    loader.workers = 2
+    loader.set_start_iter(3)
+    skipped_w = [h["frame_id"] for _, h in loader]
+    assert skipped_w == full[3:]
+    loader.workers = 0

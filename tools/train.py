@@ -135,6 +135,7 @@ def main():
 
     ckpt_mgr = CheckpointManager(ckpt_dir, args.max_ckpt_save_num)
     start_epoch = 0
+    start_it = 0
     if args.pretrained_model or args.ckpt:
         state = ckpt_mgr.load_params_from_file(
             state, args.ckpt or args.pretrained_model,
@@ -147,8 +148,14 @@ def main():
     else:
         resumed = ckpt_mgr.restore(state)
         if resumed is not None:
-            state, start_epoch, _ = resumed
-            logger.info(f"resumed from epoch {start_epoch}")
+            state, start_epoch, resume_it = resumed
+            # mid-epoch resume: `it` beyond the epoch boundary means a
+            # time-interval latest save — continue within the epoch
+            spe = max(len(train_loader), 1)
+            start_it = min(max(resume_it - start_epoch * spe, 0), spe - 1) \
+                if resume_it > start_epoch * spe else 0
+            logger.info(f"resumed from epoch {start_epoch} it {resume_it} "
+                        f"(mid-epoch offset {start_it})")
 
     mesh = make_mesh()
     repl = NamedSharding(mesh, P())
@@ -207,6 +214,7 @@ def main():
         start_epoch=start_epoch, logger=logger, tb_writer=tb,
         ckpt_save_interval=args.ckpt_save_interval,
         max_ckpt_save_num=args.max_ckpt_save_num, shard_fn=shard_fn,
+        start_it=start_it,
     )
     logger.info("**********************Training done**********************")
 
