@@ -46,11 +46,11 @@ def infer_bench():
     from radardistill_tpu.models import build_network
     from radardistill_tpu.utils.testing import make_model_cfg
 
+    from radardistill_tpu.utils.testing import apply_bench_backbone_env
+
     grid = int(os.environ.get("BENCH_GRID", 1440))
     cfg, info = make_model_cfg(grid=grid, teacher=False, radar=True, distill=None)
-    s2d = os.environ.get("BENCH_S2D", "1")
-    if s2d in ("1", "2"):
-        cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x" + ("_S2D2" if s2d == "2" else "_S2D")
+    apply_bench_backbone_env(cfg)
     model = build_network(cfg, info, compute_dtype=jnp.bfloat16)
     s = make_scene(0, num_lidar=100, num_radar=3000, num_boxes=40,
                    pc_range=info["point_cloud_range"])
@@ -100,31 +100,13 @@ def main():
     batch_size = int(os.environ.get("BENCH_BS", 2))
     steps = int(os.environ.get("BENCH_STEPS", 10))
 
+    from radardistill_tpu.utils.testing import apply_bench_backbone_env
+
     cfg, info = make_model_cfg(grid=grid, teacher=True, radar=True, distill=True)
-    s2d = os.environ.get("BENCH_S2D", "1")
-    if s2d in ("1", "2"):
-        # space-to-depth backbones (exact same math/params; PERF.md);
-        # "2" also packs stage 2
-        suffix = "_S2D2" if s2d == "2" else "_S2D"
-        cfg.BACKBONE_3D.NAME = "PillarRes18BackBone8x" + suffix
-        cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x" + suffix
-    # BENCH_AS=radar|both|teacher selects the active-site (gather-scatter)
-    # sparse backbones (ops/active_site.py) — compute scales with occupancy,
-    # not grid area. Overrides BENCH_S2D for the selected branch(es).
-    as_mode = os.environ.get("BENCH_AS", "0")
-    if as_mode in ("radar", "both"):
-        cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x_AS"
-        cfg.RADAR_BACKBONE_3D.MAX_ACTIVE = [
-            int(x) for x in os.environ.get("BENCH_AS_RCAPS", "8192,8192,8192,8192").split(",")
-        ]
-        cfg.RADAR_BACKBONE_3D.DENSE_FROM = int(os.environ.get("BENCH_AS_RDF", "3"))
-    if as_mode in ("teacher", "both"):
-        cfg.BACKBONE_3D.NAME = "PillarRes18BackBone8x_AS"
-        cfg.BACKBONE_3D.MAX_ACTIVE = [
-            int(x) for x in os.environ.get(
-                "BENCH_AS_TCAPS", "131072,98304,65536,32768").split(",")
-        ]
-        cfg.BACKBONE_3D.DENSE_FROM = int(os.environ.get("BENCH_AS_TDF", "3"))
+    # default production formulation: S2D teacher + active-site radar
+    # (BENCH_S2D / BENCH_AS knobs — see apply_bench_backbone_env; PERF.md)
+    os.environ.setdefault("BENCH_AS", "radar")
+    apply_bench_backbone_env(cfg)
     model = build_network(
         cfg, info, compute_dtype=jnp.bfloat16,
         remat=os.environ.get("BENCH_REMAT", "1") == "1",

@@ -139,3 +139,40 @@ def make_model_cfg(
         "class_names": tuple(CLASS_NAMES),
     }
     return cfg, dataset_info
+
+
+def apply_bench_backbone_env(cfg):
+    """Apply the bench/bisection backbone-selection env knobs to a model cfg
+    (shared by bench.py and tools/*_bench.py so every harness measures the
+    same formulation):
+
+      BENCH_S2D=1|2      space-to-depth packed stage-1(/2) backbones
+      BENCH_AS=radar|both|teacher   active-site gather-scatter backbones
+      BENCH_AS_RCAPS / BENCH_AS_RDF   radar table capacities / DENSE_FROM
+      BENCH_AS_TCAPS / BENCH_AS_TDF   teacher table capacities / DENSE_FROM
+    """
+    import os
+
+    s2d = os.environ.get("BENCH_S2D", "1")
+    if s2d in ("1", "2"):
+        suffix = "_S2D2" if s2d == "2" else "_S2D"
+        if "BACKBONE_3D" in cfg:
+            cfg.BACKBONE_3D.NAME = "PillarRes18BackBone8x" + suffix
+        if "RADAR_BACKBONE_3D" in cfg:
+            cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x" + suffix
+    as_mode = os.environ.get("BENCH_AS", "0")
+    if as_mode in ("radar", "both", "1") and "RADAR_BACKBONE_3D" in cfg:
+        cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x_AS"
+        cfg.RADAR_BACKBONE_3D.MAX_ACTIVE = [
+            int(x) for x in os.environ.get(
+                "BENCH_AS_RCAPS", "8192,8192,8192,8192").split(",")
+        ]
+        cfg.RADAR_BACKBONE_3D.DENSE_FROM = int(os.environ.get("BENCH_AS_RDF", "5"))
+    if as_mode in ("teacher", "both") and "BACKBONE_3D" in cfg:
+        cfg.BACKBONE_3D.NAME = "PillarRes18BackBone8x_AS"
+        cfg.BACKBONE_3D.MAX_ACTIVE = [
+            int(x) for x in os.environ.get(
+                "BENCH_AS_TCAPS", "131072,98304,65536,32768").split(",")
+        ]
+        cfg.BACKBONE_3D.DENSE_FROM = int(os.environ.get("BENCH_AS_TDF", "3"))
+    return cfg
