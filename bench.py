@@ -73,12 +73,45 @@ def infer_bench():
         _ = float(out["scores"].sum())  # real sync (axon quirk)
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times) * 1e3)
-    print(json.dumps({
+
+    # BENCH_SCAN=k>1: k forwards inside ONE device program — the device-only
+    # latency with the ~30-60 ms tunnel round-trip amortized away. The scan
+    # carry perturbs the input by a numerically-negligible amount so XLA
+    # cannot hoist the loop-invariant body (CLAUDE.md trap (a)).
+    scan_k = int(os.environ.get("BENCH_SCAN", "1"))
+    device_ms = None
+    if scan_k > 1:
+        rp = batch["radar_points"]
+
+        def multi(variables, batch):
+            def body(carry, _):
+                b = dict(batch)
+                b["radar_points"] = batch["radar_points"] + carry
+                o = model.apply(variables, b, False)["final_box_dicts"]
+                s = o["scores"].sum()
+                return (s * 1e-30).astype(rp.dtype), s
+            _, sums = jax.lax.scan(
+                body, jnp.zeros((), rp.dtype), None, length=scan_k)
+            return sums
+
+        jmulti = jax.jit(multi)
+        _ = float(jmulti(variables, batch).sum())
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _ = float(jmulti(variables, batch).sum())
+            ts.append(time.perf_counter() - t0)
+        device_ms = float(np.median(ts) * 1e3 / scan_k)
+
+    rec = {
         "metric": "radar_infer_p50_ms",
         "value": round(p50, 2),
         "unit": "ms",
         "vs_baseline": round(50.0 / p50, 3),  # vs ~50ms typical GPU e2e
-    }))
+    }
+    if device_ms is not None:
+        rec["device_only_ms"] = round(device_ms, 2)
+    print(json.dumps(rec))
 
 
 def main():

@@ -165,7 +165,7 @@ def apply_bench_backbone_env(cfg):
         cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x_AS"
         cfg.RADAR_BACKBONE_3D.MAX_ACTIVE = [
             int(x) for x in os.environ.get(
-                "BENCH_AS_RCAPS", "8192,8192,8192,8192").split(",")
+                "BENCH_AS_RCAPS", "4096,4096,4096,4096").split(",")
         ]
         cfg.RADAR_BACKBONE_3D.DENSE_FROM = int(os.environ.get("BENCH_AS_RDF", "5"))
     if as_mode in ("teacher", "both") and "BACKBONE_3D" in cfg:
