@@ -129,8 +129,11 @@ def main():
     from radardistill_tpu.train.train_step import create_train_state, make_train_step
     from radardistill_tpu.utils.testing import CLASS_NAMES, make_model_cfg
 
+    # bs4 + no-remat is the measured best operating point (PERF.md r2:
+    # 5.55 samples/s vs 5.32 bs2-noremat, 4.89 bs4-remat, 4.71 bs2-remat);
+    # it also matches production: tools/train.py builds without remat.
     grid = int(os.environ.get("BENCH_GRID", 1440))
-    batch_size = int(os.environ.get("BENCH_BS", 2))
+    batch_size = int(os.environ.get("BENCH_BS", 4))
     steps = int(os.environ.get("BENCH_STEPS", 10))
 
     from radardistill_tpu.utils.testing import apply_bench_backbone_env
@@ -142,7 +145,7 @@ def main():
     apply_bench_backbone_env(cfg)
     model = build_network(
         cfg, info, compute_dtype=jnp.bfloat16,
-        remat=os.environ.get("BENCH_REMAT", "1") == "1",
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
     )
 
     caps = {

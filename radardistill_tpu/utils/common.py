@@ -48,3 +48,24 @@ class AverageMeter:
         self.sum += val * n
         self.count += n
         self.avg = self.sum / max(self.count, 1)
+
+
+def maybe_init_distributed():
+    """Wire multi-process jax from the launcher env (tools/scripts/
+    multihost_*.sh export JAX_COORDINATOR_ADDRESS / JAX_PROCESS_COUNT /
+    JAX_PROCESS_INDEX — the torch.distributed.launch equivalent of the
+    reference dist_train.sh). No-op for single-process runs. Must be called
+    before any jax backend init."""
+    import os
+
+    n = int(os.environ.get("JAX_PROCESS_COUNT", "1"))
+    if n <= 1:
+        return False
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+        num_processes=n,
+        process_id=int(os.environ["JAX_PROCESS_INDEX"]),
+    )
+    return True

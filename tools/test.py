@@ -137,18 +137,26 @@ def main():
     from radardistill_tpu.train.checkpoint import CheckpointManager
     from radardistill_tpu.train.optim import build_optimizer
     from radardistill_tpu.train.train_step import create_train_state
-    from radardistill_tpu.utils.common import create_logger
+    from radardistill_tpu.utils.common import create_logger, maybe_init_distributed
     from radardistill_tpu.config import ConfigDict
+
+    maybe_init_distributed()
 
     output_dir = Path("output") / cfg.TAG / args.extra_tag / "eval"
     output_dir.mkdir(parents=True, exist_ok=True)
-    logger = create_logger(output_dir / f"log_eval_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt")
+    logger = create_logger(
+        output_dir / f"log_eval_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt",
+        rank=jax.process_index(),
+    )
 
     batch_size = args.batch_size or cfg.OPTIMIZATION.get("BATCH_SIZE_PER_GPU", 1)
+    # per-process dataset slice (DistributedSampler equivalent; detections
+    # are merged back by gather_detections after the loop)
     test_set, test_loader = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size,
         root_path=cfg.DATA_CONFIG.get("DATA_PATH", None),
         logger=logger, training=False,
+        process_index=jax.process_index(), process_count=jax.process_count(),
     )
     dataset_info = {
         "grid_size": tuple(int(x) for x in test_set.grid_size[:2]),

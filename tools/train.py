@@ -78,10 +78,11 @@ def main():
     from radardistill_tpu.train.optim import build_optimizer
     from radardistill_tpu.train.train_step import create_train_state, make_train_step
     from radardistill_tpu.train.trainer import train_model
-    from radardistill_tpu.utils.common import create_logger, set_random_seed
+    from radardistill_tpu.utils.common import (
+        create_logger, maybe_init_distributed, set_random_seed,
+    )
 
-    if int(os.environ.get("JAX_PROCESS_COUNT", "1")) > 1:
-        jax.distributed.initialize()
+    maybe_init_distributed()
 
     output_dir = Path("output") / cfg.TAG / args.extra_tag
     ckpt_dir = output_dir / "ckpt"
@@ -113,6 +114,10 @@ def main():
     model = build_network(
         cfg.MODEL, dataset_info,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        # measured SLOWER at the production operating point (PERF.md r2:
+        # no-remat bs4 5.55 vs remat 4.89 samples/s); opt-in for
+        # memory-constrained configs
+        remat=bool(cfg.MODEL.get("REMAT", False)),
     )
 
     # sample batch for init
