@@ -96,6 +96,11 @@ def infer_bench():
 
         jmulti = jax.jit(multi)
         _ = float(jmulti(variables, batch).sum())
+        prof_dir = os.environ.get("BENCH_PROFILE")
+        if prof_dir:
+            import jax.profiler
+            with jax.profiler.trace(prof_dir, create_perfetto_trace=True):
+                _ = float(jmulti(variables, batch).sum())
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()

@@ -80,22 +80,16 @@ class DynamicPillarVFESimple2D(nn.Module):
     dtype: object = None  # scatter-grid dtype (see PFNLayerV2); raw point
                           # coordinates are consumed in their input precision
 
-    def build_point_features(self, points, valid, ids):
-        """Assemble per-point feature vector (dynamic_pillar_vfe.py:214-237).
-
-        points: (B, N, F) rows [x, y, z, feat...]; valid: (B, N).
-        Order: f_center, absolute(x,y,z,extras) | extras, f_cluster, f_relative.
-        """
+    def _f_center(self, points, ids):
         vx, vy, vz = self.voxel_size[:3]
         x_off = vx / 2 + self.point_cloud_range[0]
         y_off = vy / 2 + self.point_cloud_range[1]
         z_off = vz / 2 + self.point_cloud_range[2]
-
         xyz = points[..., 0:3]
         nx = self.grid_size[0]
         cx = ids % nx  # invalid ids -> sentinel row; masked later
         cy = ids // nx
-        f_center = jnp.stack(
+        return jnp.stack(
             [
                 xyz[..., 0] - (cx.astype(xyz.dtype) * vx + x_off),
                 xyz[..., 1] - (cy.astype(xyz.dtype) * vy + y_off),
@@ -103,15 +97,20 @@ class DynamicPillarVFESimple2D(nn.Module):
             ],
             axis=-1,
         )
-        feats = [f_center]
+
+    def _assemble_features(self, points, valid, ids, mean):
+        """Per-point feature vector given the (already reduced) cluster mean.
+
+        Order (dynamic_pillar_vfe.py:214-237): f_center,
+        absolute(x,y,z,extras) | extras, f_cluster, f_relative.
+        """
+        xyz = points[..., 0:3]
+        feats = [self._f_center(points, ids)]
         if self.use_absolute_xyz:
             feats.append(points)
         else:
             feats.append(points[..., 3:])
         if self.use_cluster_xyz:
-            mean = jax.vmap(lambda p, i: voxelize.pillar_mean_per_point(p, i, self.grid_size))(
-                xyz, ids
-            )
             feats.append(xyz - mean)
         if self.with_distance:
             feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
@@ -121,33 +120,93 @@ class DynamicPillarVFESimple2D(nn.Module):
         out = jnp.concatenate(feats, axis=-1)
         return jnp.where(valid[..., None], out, 0.0)
 
-    @nn.compact
-    def __call__(self, points, point_mask, train: bool):
-        """points: (B, N, F) [x,y,z,...]; point_mask: (B, N) bool.
+    def build_point_features(self, points, valid, ids):
+        """Legacy dense-grid formulation (kept for parity tests)."""
+        xyz = points[..., 0:3]
+        mean = jax.vmap(
+            lambda p, i: voxelize.pillar_mean_per_point(p, i, self.grid_size)
+        )(xyz, ids) if self.use_cluster_xyz else None
+        return self._assemble_features(points, valid, ids, mean)
 
-        Returns (bev_features (B, H, W, C), pillar_mask (B, H, W) bool).
-        """
+    def _slot_mean(self, xyz, valid, slot, capacity):
+        """Cluster mean per point via the compact pillar table (slot)."""
+        def mean_back(p, v, sl):
+            pm = jnp.where(v[..., None], p, 0.0)
+            s = jnp.zeros((capacity, 3), p.dtype).at[sl].add(
+                pm, mode="drop", indices_are_sorted=True
+            )
+            n = jnp.zeros((capacity,), p.dtype).at[sl].add(
+                v.astype(p.dtype), mode="drop", indices_are_sorted=True
+            )
+            m = s / jnp.clip(n, 1.0)[..., None]
+            return m.at[sl].get(mode="fill", fill_value=0, indices_are_sorted=True)
+
+        return jax.vmap(mean_back)(xyz, valid, slot)
+
+    def encode_table(self, points, point_mask, train: bool, capacity: int):
+        """Shared compact-table encoder: sort points by pillar id once,
+        reduce through the PFN into a (B, capacity, C) sorted pillar table.
+
+        Returns (table, uids, count). Every scatter/gather is monotone; the
+        dense (B, H*W, C) scatter grids of the original formulation never
+        exist (their row scatters ran at ~2 GB/s on TPU with XLA picking a
+        dim0-minor layout — PERF.md r2 profile: 80 ms/step at bs4)."""
+        from ..ops import active_site as asx
+
         coords, in_range = voxelize.compute_pillar_coords(
             points[..., :2], self.point_cloud_range, self.voxel_size, self.grid_size
         )
         valid = point_mask & in_range
         ids = voxelize.pillar_ids(coords, valid, self.grid_size)
 
-        feats = self.build_point_features(points, valid, ids)
+        order = jnp.argsort(ids, axis=-1)
+        ids = jnp.take_along_axis(ids, order, axis=-1)
+        points = jnp.take_along_axis(points, order[..., None], axis=1)
+        valid = jnp.take_along_axis(valid, order, axis=-1)
 
-        bev = None
+        nx, ny = self.grid_size
+        sent = nx * ny
+        uids, slot, count = jax.vmap(
+            lambda i: asx.compact_unique_sorted(i, capacity, sent)
+        )(ids)
+
+        mean = (
+            self._slot_mean(points[..., 0:3], valid, slot, capacity)
+            if self.use_cluster_xyz else None
+        )
+        feats = self._assemble_features(points, valid, ids, mean)
+
+        table = None
         n_layers = len(self.num_filters)
         for i, out_ch in enumerate(self.num_filters):
-            feats, bev = PFNLayerV2(
+            feats, table = PFNLayerV2Sparse(
                 out_channels=out_ch,
+                capacity=capacity,
                 use_norm=self.use_norm,
                 last_layer=(i >= n_layers - 1),
                 dtype=self.dtype,
                 name=f"pfn_{i}",
-            )(feats, ids, valid, self.grid_size, train)
+            )(feats, slot, valid, train)
+        return table, uids, count
 
-        cnt = jax.vmap(lambda i: voxelize.pillar_count(i, self.grid_size))(ids)
-        pillar_mask = cnt > 0
+    @nn.compact
+    def __call__(self, points, point_mask, train: bool):
+        """points: (B, N, F) [x,y,z,...]; point_mask: (B, N) bool.
+
+        Returns (bev_features (B, H, W, C), pillar_mask (B, H, W) bool).
+        Internally reduces into a compact pillar table (capacity = N points,
+        so overflow is impossible) and expands to the dense grid with ONE
+        gather-based densify per sample.
+        """
+        from ..ops import active_site as asx
+
+        table, uids, _ = self.encode_table(
+            points, point_mask, train, capacity=points.shape[1]
+        )
+        nx, ny = self.grid_size
+        bev, pillar_mask = jax.vmap(
+            lambda t, u: asx.densify(t, u, (ny, nx))
+        )(table, uids)
         return bev, pillar_mask
 
     @property
@@ -210,87 +269,7 @@ class DynamicPillarVFESparse(DynamicPillarVFESimple2D):
 
     @nn.compact
     def __call__(self, points, point_mask, train: bool):
-        from ..ops import active_site as asx
-
-        coords, in_range = voxelize.compute_pillar_coords(
-            points[..., :2], self.point_cloud_range, self.voxel_size, self.grid_size
-        )
-        valid = point_mask & in_range
-        ids = voxelize.pillar_ids(coords, valid, self.grid_size)
-
-        # sort points by pillar id ONCE; every downstream scatter/gather is
-        # then monotone (the dense VFE re-sorts inside every scatter call)
-        order = jnp.argsort(ids, axis=-1)
-        ids = jnp.take_along_axis(ids, order, axis=-1)
-        points = jnp.take_along_axis(points, order[..., None], axis=1)
-        valid = jnp.take_along_axis(valid, order, axis=-1)
-
-        nx, ny = self.grid_size
-        sent = nx * ny
-        uids, slot, count = jax.vmap(
-            lambda i: asx.compact_unique_sorted(i, self.capacity, sent)
-        )(ids)
-
-        feats = self.build_point_features_sparse(points, valid, ids, slot)
-
-        table = None
-        n_layers = len(self.num_filters)
-        for i, out_ch in enumerate(self.num_filters):
-            feats, table = PFNLayerV2Sparse(
-                out_channels=out_ch,
-                capacity=self.capacity,
-                use_norm=self.use_norm,
-                last_layer=(i >= n_layers - 1),
-                dtype=self.dtype,
-                name=f"pfn_{i}",
-            )(feats, slot, valid, train)
-        return table, uids, count
-
-    def build_point_features_sparse(self, points, valid, ids, slot):
-        """build_point_features with the cluster mean reduced via the pillar
-        table (slot) instead of the dense grid."""
-        vx, vy, vz = self.voxel_size[:3]
-        x_off = vx / 2 + self.point_cloud_range[0]
-        y_off = vy / 2 + self.point_cloud_range[1]
-        z_off = vz / 2 + self.point_cloud_range[2]
-        xyz = points[..., 0:3]
-        nx = self.grid_size[0]
-        cx = ids % nx
-        cy = ids // nx
-        f_center = jnp.stack(
-            [
-                xyz[..., 0] - (cx.astype(xyz.dtype) * vx + x_off),
-                xyz[..., 1] - (cy.astype(xyz.dtype) * vy + y_off),
-                xyz[..., 2] - z_off,
-            ],
-            axis=-1,
-        )
-        feats = [f_center]
-        if self.use_absolute_xyz:
-            feats.append(points)
-        else:
-            feats.append(points[..., 3:])
-        if self.use_cluster_xyz:
-            def mean_back(p, v, sl):
-                pm = jnp.where(v[..., None], p, 0.0)
-                s = jnp.zeros((self.capacity, 3), p.dtype).at[sl].add(
-                    pm, mode="drop", indices_are_sorted=True
-                )
-                n = jnp.zeros((self.capacity,), p.dtype).at[sl].add(
-                    v.astype(p.dtype), mode="drop", indices_are_sorted=True
-                )
-                m = s / jnp.clip(n, 1.0)[..., None]
-                return m.at[sl].get(mode="fill", fill_value=0, indices_are_sorted=True)
-
-            mean = jax.vmap(mean_back)(xyz, valid, slot)
-            feats.append(xyz - mean)
-        if self.with_distance:
-            feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
-        if self.use_relative_xyz:
-            pc0 = jnp.asarray(self.point_cloud_range[:3], xyz.dtype)
-            feats.append(xyz - pc0)
-        out = jnp.concatenate(feats, axis=-1)
-        return jnp.where(valid[..., None], out, 0.0)
+        return self.encode_table(points, point_mask, train, self.capacity)
 
 
 class MeanVFE(nn.Module):
@@ -322,25 +301,13 @@ class DynamicPillarVFE(DynamicPillarVFESimple2D):
 
     use_relative_xyz: bool = False
 
-    def build_point_features(self, points, valid, ids):
-        vx, vy, vz = self.voxel_size[:3]
-        x_off = vx / 2 + self.point_cloud_range[0]
-        y_off = vy / 2 + self.point_cloud_range[1]
-        z_off = vz / 2 + self.point_cloud_range[2]
+    def _assemble_features(self, points, valid, ids, mean):
         xyz = points[..., 0:3]
-        nx = self.grid_size[0]
-        cx = ids % nx
-        cy = ids // nx
-        f_center = jnp.stack(
-            [
-                xyz[..., 0] - (cx.astype(xyz.dtype) * vx + x_off),
-                xyz[..., 1] - (cy.astype(xyz.dtype) * vy + y_off),
-                xyz[..., 2] - z_off,
-            ],
-            axis=-1,
-        )
-        mean = jax.vmap(lambda p, i: voxelize.pillar_mean_per_point(p, i, self.grid_size))(xyz, ids)
-        feats = [points if self.use_absolute_xyz else points[..., 3:], xyz - mean, f_center]
+        feats = [
+            points if self.use_absolute_xyz else points[..., 3:],
+            xyz - mean,
+            self._f_center(points, ids),
+        ]
         if self.with_distance:
             feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
         out = jnp.concatenate(feats, axis=-1)

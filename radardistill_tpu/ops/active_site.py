@@ -29,6 +29,7 @@ All functions are per-sample; vmap over the batch dimension.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -201,17 +202,53 @@ def downsample_active(uids: jnp.ndarray, in_hw: Tuple[int, int], cap_out: int):
     return out_uids, count
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _densify_rows(feats, uids, hw_flat):
+    """(cap, C) table -> (H*W, C) dense rows, as a GATHER.
+
+    A row scatter of C-wide updates runs at ~13 GB/s on TPU even sorted
+    (r2 profile: 46 ms/step in the stride-8 densify); the equivalent
+    formulation via the inverse site map — a scalar s32 scatter plus a
+    monotone row gather — streams at full bandwidth. The VJP is also a
+    gather: uids is unique, so each table row owns exactly one dense cell.
+    """
+    cap = feats.shape[0]
+    inv = site_index_grid(uids, hw_flat, cap)  # (H*W,) cap = empty
+    active = inv < cap
+    # plain unsorted gather with a zero sentinel row: row gathers are not
+    # layout-fragile the way row scatters are, and a cummax fill-forward to
+    # earn the sorted-gather hint costs more than it saves at H*W ~ 2M
+    # (measured: tools/scatter_bench.py invgath beats the sorted variant)
+    feats_z = jnp.concatenate([feats, jnp.zeros((1,) + feats.shape[1:], feats.dtype)])
+    rows = feats_z.at[inv].get(mode="clip")
+    return rows, active
+
+
+def _densify_rows_fwd(feats, uids, hw_flat):
+    out = _densify_rows(feats, uids, hw_flat)
+    return out, uids
+
+
+def _densify_rows_bwd(hw_flat, uids, grads):
+    g_dense, _ = grads  # mask output is boolean: no gradient
+    valid = uids < hw_flat
+    g = g_dense.at[jnp.clip(uids, 0, hw_flat - 1)].get(
+        mode="clip", indices_are_sorted=True
+    )
+    return g * valid[:, None].astype(g.dtype), None
+
+
+_densify_rows.defvjp(_densify_rows_fwd, _densify_rows_bwd)
+
+
 def densify(feats: jnp.ndarray, uids: jnp.ndarray, hw: Tuple[int, int]):
-    """Scatter a feature table to the dense (H, W, C) grid (+ (H, W) mask)."""
+    """Expand a feature table to the dense (H, W, C) grid (+ (H, W) mask).
+
+    Gather-formulated in both directions (see :func:`_densify_rows`)."""
     h, w = hw
     c = feats.shape[-1]
-    dense = jnp.zeros((h * w, c), feats.dtype).at[uids].set(
-        feats, mode="drop", indices_are_sorted=True
-    )
-    mask = jnp.zeros((h * w,), bool).at[uids].set(
-        True, mode="drop", indices_are_sorted=True
-    )
-    return dense.reshape(h, w, c), mask.reshape(h, w)
+    dense, active = _densify_rows(feats, uids, h * w)
+    return dense.reshape(h, w, c), active.reshape(h, w)
 
 
 def sparsify(bev: jnp.ndarray, mask: jnp.ndarray, cap: int):

@@ -133,3 +133,33 @@ def test_compact_unique_overflow_slot_is_dropped():
     uids, slot, count = asx.compact_unique(ids, cap=2, sentinel=100)
     np.testing.assert_array_equal(np.asarray(uids), [1, 2])
     np.testing.assert_array_equal(np.asarray(slot), [0, 1, 2, 2])
+
+
+def test_densify_vjp_matches_autodiff_of_scatter():
+    """densify's custom VJP (gather-formulated) must equal the gradient of
+    the plain scatter formulation it replaced."""
+    rng = np.random.RandomState(7)
+    h = w = 12
+    c, cap = 3, 24
+    ids, mask = _random_active(rng, h, w, 17)
+    feats = jnp.asarray(rng.randn(cap, c).astype(np.float32))
+    uids = jnp.asarray(
+        np.concatenate([np.sort(ids), np.full(cap - len(ids), h * w)]).astype(np.int32)
+    )
+
+    def via_densify(f):
+        dense, _ = asx.densify(f, uids, (h, w))
+        return jnp.sum(jnp.sin(dense) * jnp.arange(h * w * c).reshape(h, w, c))
+
+    def via_scatter(f):
+        dense = jnp.zeros((h * w, c), f.dtype).at[uids].set(
+            f, mode="drop", indices_are_sorted=True
+        ).reshape(h, w, c)
+        return jnp.sum(jnp.sin(dense) * jnp.arange(h * w * c).reshape(h, w, c))
+
+    np.testing.assert_allclose(
+        float(via_densify(feats)), float(via_scatter(feats)), rtol=1e-5
+    )
+    g1 = jax.grad(via_densify)(feats)
+    g2 = jax.grad(via_scatter)(feats)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
