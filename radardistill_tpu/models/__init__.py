@@ -106,4 +106,8 @@ def compute_training_loss(model_cfg, out: Dict[str, Any], class_names, voxel_siz
         d_loss, d_tb = distill_loss(d_in)
         loss = loss + d_loss
         tb.update(d_tb)
+    if "as_overflow" in out:
+        # active-site capacity monitoring: sites dropped this step (should
+        # stay 0 — raise MAX_ACTIVE / VFE capacity if it doesn't)
+        tb["as_overflow"] = out["as_overflow"]
     return loss, tb

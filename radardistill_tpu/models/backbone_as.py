@@ -172,6 +172,10 @@ class PillarRes18BackBone8xAS(nn.Module):
         ]
         sh, sw, cap_in = h, w, cap1
         dense_x = dense_mask = None
+        # sites silently dropped by capacity caps, summed over batch+stages —
+        # a monitoring counter (logged as tb `as_overflow`); nonzero means
+        # MAX_ACTIVE needs raising for this data
+        overflow = jnp.zeros((), jnp.int32)
         for stage, feat_ch in stage_specs:
             if stage < self.dense_from:
                 # sparse down + 2 sparse blocks
@@ -179,6 +183,7 @@ class PillarRes18BackBone8xAS(nn.Module):
                 new_uids, _cnt = jax.vmap(
                     lambda u: asx.downsample_active(u, (sh, sw), cap_out)
                 )(uids)
+                overflow = overflow + jnp.sum(jnp.maximum(_cnt - cap_out, 0))
                 nb_d, msk_d = jax.vmap(
                     lambda nu, g: asx.conv_neighbor_table(
                         nu, g, (sh, sw), sw // 2, 2, cap_in
@@ -232,6 +237,8 @@ class PillarRes18BackBone8xAS(nn.Module):
         y = nn.relu(y)
         y = DenseBasicBlock(256, self.dtype, name="conv5_0")(y, train)
         out["x_conv5"] = DenseBasicBlock(256, self.dtype, name="conv5_1")(y, train)
+
+        out["as_overflow"] = overflow
 
         if self.densify_all:  # tests / analytics only
             for stage, s in ((1, 1), (2, 2), (3, 4), (4, 8)):

@@ -250,7 +250,7 @@ class PillarNet(nn.Module):
             # raw (f32) points: coordinate features need full precision;
             # the VFE casts to the compute dtype post-BN (vfe.PFNLayerV2)
             if self.as_teacher:
-                tfeats, tuids, _ = self.vfe(
+                tfeats, tuids, tcnt = self.vfe(
                     batch["points"], batch["points_mask"],
                     self._maybe_freeze("vfe", train),
                 )
@@ -258,6 +258,9 @@ class PillarNet(nn.Module):
                 ms = self.backbone_3d(
                     tfeats, tuids, self._maybe_freeze("backbone_3d", train)
                 )
+                out["as_overflow"] = out.get("as_overflow", 0) + ms.get(
+                    "as_overflow", 0
+                ) + jnp.sum(jnp.maximum(tcnt - self.vfe.capacity, 0))
             else:
                 bev, mask = self.vfe(
                     batch["points"], batch["points_mask"],
@@ -292,12 +295,17 @@ class PillarNet(nn.Module):
             else:
                 rpts, rpts_mask = batch["points"], batch["points_mask"]
             if self.as_radar:
-                rfeats, ruids, _ = self.radar_vfe(
+                rfeats, ruids, rcnt = self.radar_vfe(
                     rpts, rpts_mask, self._maybe_freeze("radar_vfe", train)
                 )
                 rms = self.radar_backbone_3d(
                     rfeats, ruids, self._maybe_freeze("radar_backbone_3d", train)
                 )
+                # capacity-overflow monitoring counter (VFE table + backbone
+                # stage caps); logged as tb `as_overflow`
+                out["as_overflow"] = out.get("as_overflow", 0) + rms.get(
+                    "as_overflow", 0
+                ) + jnp.sum(jnp.maximum(rcnt - self.radar_vfe.capacity, 0))
             else:
                 rbev, rmask = self.radar_vfe(
                     rpts, rpts_mask,

@@ -165,3 +165,31 @@ def test_e2e_detector_as_matches_standard():
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(want[k]), rtol=5e-4, atol=5e-4, err_msg=k
         )
+
+
+def test_as_overflow_counter():
+    """Undersized stage caps must be reported via out['as_overflow']
+    (sites dropped silently otherwise — the counter is the monitoring
+    contract for choosing MAX_ACTIVE)."""
+    rng = np.random.RandomState(3)
+    b, h = 1, GRID
+    n_active = 200
+    bev = np.zeros((b, h, h, 32), np.float32)
+    mask = np.zeros((b, h, h), bool)
+    ids = rng.choice(h * h, n_active, replace=False)
+    mask[0].reshape(-1)[ids] = True
+    bev[0].reshape(-1, 32)[ids] = rng.randn(n_active, 32)
+
+    feats, uids, _ = jax.vmap(lambda x, m: asx.sparsify(x, m, 256))(
+        jnp.asarray(bev), jnp.asarray(mask)
+    )
+    # stage-2 cap of 32 is far below the ~200+ dilated active sites
+    bb = PillarRes18BackBone8xAS(hw=(h, h), caps=(256, 32, 32, 32), dense_from=3)
+    variables = bb.init(jax.random.PRNGKey(0), feats, uids, False)
+    out = bb.apply(variables, feats, uids, False, mutable=["batch_stats"])[0]
+    assert int(out["as_overflow"]) > 0
+
+    bb_ok = PillarRes18BackBone8xAS(hw=(h, h), caps=(256, 4096, 4096, 4096), dense_from=3)
+    variables = bb_ok.init(jax.random.PRNGKey(0), feats, uids, False)
+    out = bb_ok.apply(variables, feats, uids, False, mutable=["batch_stats"])[0]
+    assert int(out["as_overflow"]) == 0
