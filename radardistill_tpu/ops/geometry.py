@@ -134,12 +134,17 @@ def _clip_halfplane_batched(verts, n_valid, p0, p1):
     emit_i = (inside != nxt_inside) & valid
     out_pts = jnp.stack([verts, inter], axis=-2).reshape(*verts.shape[:-2], 16, 2)
     out_keep = jnp.stack([emit_v, emit_i], axis=-1).reshape(*d.shape[:-1], 16)
-    # sort-free stable compaction: destination slot = exclusive prefix count
+    # sort-free stable compaction: destination slot = exclusive prefix count.
+    # Masked sum over the 16 candidate slots — fuses into one reduction (the
+    # previous one_hot+einsum formulation lowered to a real dot over a
+    # materialized (..., 16, 8) f32 one-hot: ~20 ms/step of NMS decode time
+    # at 500 candidates, r2 inference profile).
     pos = jnp.cumsum(out_keep, axis=-1) - 1
-    sel = jax.nn.one_hot(
-        jnp.where(out_keep, pos, _MAX_VERTS), _MAX_VERTS, dtype=out_pts.dtype
-    )  # (..., 16, 8)
-    out = jnp.einsum("...ko,...kc->...oc", sel, out_pts)
+    o_idx = jnp.arange(_MAX_VERTS)
+    sel = out_keep[..., :, None] & (pos[..., :, None] == o_idx)  # (..., 16, 8)
+    out = jnp.sum(
+        jnp.where(sel[..., None], out_pts[..., :, None, :], 0.0), axis=-3
+    )
     n_out = jnp.minimum(jnp.sum(out_keep, axis=-1).astype(jnp.int32), _MAX_VERTS)
     return out, n_out
 

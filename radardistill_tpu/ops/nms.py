@@ -59,22 +59,26 @@ def class_agnostic_nms(
 
     iou = geometry.boxes_iou_bev(cand_boxes[:, :7], cand_boxes[:, :7])  # (k, k)
     overlaps = (iou > nms_thresh) & cand_valid[None, :] & cand_valid[:, None]
-    # only higher-ranked boxes can suppress: strict upper triangle (j < i)
-    overlaps = overlaps & (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])
+    # sup[i, j] = True iff j (higher-ranked) can suppress i: lower triangle
+    sup = overlaps & (jnp.arange(k)[:, None] > jnp.arange(k)[None, :])
 
     # Exact greedy suppression as a monotone fixed point: iterate
     #   alive[i] <- valid[i] & no alive higher-ranked box overlaps i
     # The greedy keep-set is the unique fixed point (induction over rank);
     # convergence takes <= longest suppression-chain length iterations
-    # (typically < 10), each a cheap (k,k) mat-vec — replacing the k-step
-    # sequential scan that dominated decode time on TPU.
+    # (typically < 10). Each iteration is one (k,k)x(k,) MXU matvec — the
+    # predicate any-reduce over the sublane axis it replaces measured
+    # ~2.4 ms/iteration at k=500 (r2 inference profile).
+    sup_f = sup.astype(jnp.float32)
+
     def cond(carry):
         alive, prev_changed = carry
         return prev_changed
 
     def body(carry):
         alive, _ = carry
-        new_alive = cand_valid & ~jnp.any(overlaps & alive[:, None], axis=0)
+        suppressed = (sup_f @ alive.astype(jnp.float32)) > 0
+        new_alive = cand_valid & ~suppressed
         return new_alive, jnp.any(new_alive != alive)
 
     keep, _ = jax.lax.while_loop(cond, body, (cand_valid, jnp.bool_(True)))
