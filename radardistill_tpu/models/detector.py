@@ -155,6 +155,11 @@ class PillarNet(nn.Module):
         def _is_as(bk_sub):
             return bk_sub.get("NAME", "PillarRes18BackBone8x").endswith("_AS")
 
+        def _is_table_s2d(bk_sub):
+            return "_S2D" in bk_sub.get("NAME", "") and bool(
+                bk_sub.get("TABLE_INPUT", False)
+            )
+
         def make_vfe(sub, bk_sub=None):
             cls = VFE_REGISTRY[sub.get("NAME", "DynamicPillarVFESimple2D")]
             if cls is MeanVFE:
@@ -176,6 +181,10 @@ class PillarNet(nn.Module):
             )
             if bk_sub is not None and _is_as(bk_sub) and cls is DynamicPillarVFESimple2D:
                 return DynamicPillarVFESparse(capacity=_as_caps(bk_sub)[0], **kwargs)
+            if bk_sub is not None and _is_table_s2d(bk_sub) and cls is DynamicPillarVFESimple2D:
+                return DynamicPillarVFESparse(
+                    capacity=int(bk_sub.get("TABLE_CAPACITY", 163840)), **kwargs
+                )
             return cls(**kwargs)
 
         def make_head(sub):
@@ -197,6 +206,10 @@ class PillarNet(nn.Module):
                 kwargs = dict(tile=sub.get("TILE", 32), max_tiles=sub.get("MAX_TILES", 512))
             if cls is PillarRes18BackBone8xS2D and name.endswith("_S2D2"):
                 kwargs = dict(pack_stage2=True)
+            if cls is PillarRes18BackBone8xS2D and _is_table_s2d(sub):
+                nx, ny = self.grid_size
+                kwargs["table_input"] = True
+                kwargs["hw"] = (ny, nx)
             if cls is PillarRes18BackBone8xAS:
                 nx, ny = self.grid_size
                 kwargs = dict(
@@ -217,6 +230,7 @@ class PillarNet(nn.Module):
 
         if self.has_teacher:
             self.as_teacher = _is_as(cfg.get("BACKBONE_3D", {}))
+            self.s2dt_teacher = _is_table_s2d(cfg.get("BACKBONE_3D", {}))
             self.vfe = make_vfe(cfg["VFE"], cfg.get("BACKBONE_3D", {}))
             self.backbone_3d = make_backbone(cfg.get("BACKBONE_3D", {}))
             self.backbone_2d = make_neck(cfg["BACKBONE_2D"])
@@ -261,6 +275,18 @@ class PillarNet(nn.Module):
                 out["as_overflow"] = out.get("as_overflow", 0) + ms.get(
                     "as_overflow", 0
                 ) + jnp.sum(jnp.maximum(tcnt - self.vfe.capacity, 0))
+            elif self.s2dt_teacher:
+                tfeats, tuids, tcnt = self.vfe(
+                    batch["points"], batch["points_mask"],
+                    self._maybe_freeze("vfe", train),
+                )
+                tfeats, tuids = self._stop("vfe", (tfeats, tuids))
+                ms = self.backbone_3d(
+                    tfeats, tuids, self._maybe_freeze("backbone_3d", train)
+                )
+                out["as_overflow"] = out.get("as_overflow", 0) + jnp.sum(
+                    jnp.maximum(tcnt - self.vfe.capacity, 0)
+                )
             else:
                 bev, mask = self.vfe(
                     batch["points"], batch["points_mask"],

@@ -160,6 +160,12 @@ def apply_bench_backbone_env(cfg):
             cfg.BACKBONE_3D.NAME = "PillarRes18BackBone8x" + suffix
         if "RADAR_BACKBONE_3D" in cfg:
             cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x" + suffix
+    # BENCH_S2DT=1: teacher consumes the sparse VFE table directly, packed
+    # densify inside the S2D backbone (no unpacked stride-1 dense grid)
+    if os.environ.get("BENCH_S2DT", "0") == "1" and "BACKBONE_3D" in cfg:
+        cfg.BACKBONE_3D.TABLE_INPUT = True
+        cfg.BACKBONE_3D.TABLE_CAPACITY = int(
+            os.environ.get("BENCH_LIDAR_PTS", 160_000))
     as_mode = os.environ.get("BENCH_AS", "0")
     if as_mode in ("radar", "both", "1") and "RADAR_BACKBONE_3D" in cfg:
         cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x_AS"

@@ -163,3 +163,37 @@ def test_densify_vjp_matches_autodiff_of_scatter():
     g1 = jax.grad(via_densify)(feats)
     g2 = jax.grad(via_scatter)(feats)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+
+def test_densify_packed_matches_densify_plus_s2d():
+    """densify_packed == densify + space_to_depth (fwd) and its custom VJP
+    equals autodiff of that reference composition."""
+    from radardistill_tpu.models.backbone_s2d import space_to_depth
+
+    rng = np.random.RandomState(11)
+    h = w = 16
+    c, cap = 5, 40
+    ids, mask = _random_active(rng, h, w, 23)
+    feats = jnp.asarray(rng.randn(cap, c).astype(np.float32))
+    uids = jnp.asarray(
+        np.concatenate([np.sort(ids), np.full(cap - len(ids), h * w)]).astype(np.int32)
+    )
+    cotang = jnp.asarray(rng.randn(h // 2, w // 2, 4 * c).astype(np.float32))
+
+    def ref(f):
+        dense, _ = asx.densify(f, uids, (h, w))
+        return space_to_depth(dense[None])[0]
+
+    def packed(f):
+        return asx.densify_packed(f, uids, (h, w))[0]
+
+    np.testing.assert_allclose(
+        np.asarray(packed(feats)), np.asarray(ref(feats)), rtol=1e-6
+    )
+    g1 = jax.grad(lambda f: jnp.sum(packed(f) * cotang))(feats)
+    g2 = jax.grad(lambda f: jnp.sum(ref(f) * cotang))(feats)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+    _, m1 = asx.densify_packed(feats, uids, (h, w))
+    _, m2 = asx.densify(feats, uids, (h, w))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))

@@ -134,3 +134,41 @@ def test_s2d_stage2_packed_matches_dense():
                 np.asarray(out_s[key]), np.asarray(out_d[key]),
                 rtol=2e-4, atol=2e-4, err_msg=f"{key} train={train}",
             )
+
+
+def test_s2d_table_input_matches_dense_input():
+    """Table-input mode (sparse VFE table -> packed densify inside the
+    backbone) must equal feeding the densified grid through the standard
+    (bev, mask) entry on shared params."""
+    import numpy as np
+    from radardistill_tpu.models.vfe import DynamicPillarVFESparse
+    from radardistill_tpu.ops import active_site as asx
+
+    h = 32
+    rng = np.random.RandomState(5)
+    pts = np.zeros((2, 300, 5), np.float32)
+    pts[..., :3] = rng.uniform(-50, 50, (2, 300, 3))
+    pts[..., 3:] = rng.uniform(0, 1, (2, 300, 2))
+    mask_pts = jnp.asarray(rng.rand(2, 300) > 0.1)
+    pts = jnp.asarray(pts)
+
+    vfe = DynamicPillarVFESparse(
+        capacity=512, num_filters=(32,), voxel_size=(108.0 / h, 108.0 / h, 8.0),
+        point_cloud_range=(-54.0, -54.0, -5.0, 54.0, 54.0, 3.0),
+        grid_size=(h, h),
+    )
+    vvars = vfe.init(jax.random.PRNGKey(0), pts, mask_pts, False)
+    table, uids, _ = vfe.apply(vvars, pts, mask_pts, False)
+    bev, bmask = jax.vmap(lambda f, u: asx.densify(f, u, (h, h)))(table, uids)
+
+    dense_bb = PillarRes18BackBone8xS2D()
+    table_bb = PillarRes18BackBone8xS2D(table_input=True, hw=(h, h))
+    variables = dense_bb.init(jax.random.PRNGKey(1), bev, bmask, False)
+
+    out_d = dense_bb.apply(variables, bev, bmask, False, mutable=["batch_stats"])[0]
+    out_t = table_bb.apply(variables, table, uids, False, mutable=["batch_stats"])[0]
+    for k in ("x_conv3", "x_conv4", "x_conv5"):
+        np.testing.assert_allclose(
+            np.asarray(out_t[k]), np.asarray(out_d[k]), rtol=1e-5, atol=1e-5
+        )
+    np.testing.assert_array_equal(np.asarray(out_t["mask4"]), np.asarray(out_d["mask4"]))

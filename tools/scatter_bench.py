@@ -96,8 +96,112 @@ def bench(name, fn):
     print(f"{name:8s} {ms:8.2f} ms/iter")
 
 
-if __name__ == "__main__":
+def main1():
     jax.config.update(
         "jax_compilation_cache_dir", "/root/repo/.jax_tpu_cache")
     for name, fn in [("flat2d", flat2d), ("grid3d", grid3d), ("invgath", invgath)]:
         bench(name, fn)
+
+
+# ---- appended variants (r2: in-model densify gather ran at 8 GB/s while
+# isolated invgath hit 100+; hypothesis: the consumer's space-to-depth
+# transpose fuses into the gather. Also width-3 f32 cluster-mean scatters.)
+
+def _invgath_core(ids, feats):
+    order = jnp.argsort(ids)
+    ids_s = ids[order]
+    feats_s = feats[order]
+    starts = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
+    seg = jnp.cumsum(starts) - 1
+    table = jnp.zeros((CAP, C), feats.dtype).at[seg].add(
+        feats_s, mode="drop", indices_are_sorted=True)
+    inv = jnp.full((G * G,), CAP, jnp.int32).at[ids_s].set(
+        seg.astype(jnp.int32), mode="drop", indices_are_sorted=True)
+    table_z = jnp.concatenate([table, jnp.zeros((1, C), feats.dtype)], 0)
+    return table_z, inv
+
+
+def invgath_s2d(ids, feats):
+    """invgath + the S2D backbone's space-to-depth consumer."""
+    table_z, inv = _invgath_core(ids, feats)
+    out = table_z.at[inv].get(mode="clip").reshape(1, G, G, C)
+    b, h, w, c = out.shape
+    out = out.reshape(b, h // 2, 2, w // 2, 2, c)
+    out = out.transpose(0, 1, 3, 2, 4, 5)
+    return out.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def invgath_packed(ids, feats):
+    """gather directly in packed S2D order (inv permuted, output contiguous)."""
+    table_z, inv = _invgath_core(ids, feats)
+    inv_p = inv.reshape(G // 2, 2, G // 2, 2).transpose(0, 2, 1, 3).reshape(
+        G // 2, G // 2, 4)
+    rows = table_z.at[inv_p].get(mode="clip")  # (G/2, G/2, 4, C)
+    return rows.reshape(1, G // 2, G // 2, 4 * C)
+
+
+def mean3(ids, feats):
+    """current _slot_mean shape: width-3 f32 scatter + count + gather-back."""
+    order = jnp.argsort(ids)
+    ids_s = ids[order]
+    xyz = feats[order][:, :3].astype(jnp.float32)
+    starts = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
+    seg = jnp.cumsum(starts) - 1
+    s = jnp.zeros((CAP, 3), jnp.float32).at[seg].add(
+        xyz, mode="drop", indices_are_sorted=True)
+    n = jnp.zeros((CAP,), jnp.float32).at[seg].add(
+        1.0, mode="drop", indices_are_sorted=True)
+    m = s / jnp.clip(n, 1.0)[..., None]
+    return m.at[seg].get(mode="fill", fill_value=0, indices_are_sorted=True)
+
+
+def mean4(ids, feats):
+    """single fused width-4 scatter [x,y,z,1]."""
+    order = jnp.argsort(ids)
+    ids_s = ids[order]
+    xyz1 = jnp.concatenate(
+        [feats[order][:, :3].astype(jnp.float32),
+         jnp.ones((N, 1), jnp.float32)], -1)
+    starts = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
+    seg = jnp.cumsum(starts) - 1
+    s = jnp.zeros((CAP, 4), jnp.float32).at[seg].add(
+        xyz1, mode="drop", indices_are_sorted=True)
+    m = s[:, :3] / jnp.clip(s[:, 3:], 1.0)
+    return m.at[seg].get(mode="fill", fill_value=0, indices_are_sorted=True)
+
+
+def meanscan(ids, feats):
+    """segment mean via prefix sums over the sorted stream (scatter-free
+    except two scalar index scatters)."""
+    order = jnp.argsort(ids)
+    ids_s = ids[order]
+    xyz = feats[order][:, :3].astype(jnp.float32)
+    starts = jnp.concatenate([jnp.array([True]), ids_s[1:] != ids_s[:-1]])
+    seg = (jnp.cumsum(starts) - 1).astype(jnp.int32)
+    pref = jnp.cumsum(
+        jnp.concatenate([jnp.zeros((1, 3), jnp.float32), xyz]), axis=0)  # (N+1,3)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    seg_start = jnp.full((CAP,), N, jnp.int32).at[seg].min(
+        pos, mode="drop", indices_are_sorted=True)
+    seg_end = jnp.zeros((CAP,), jnp.int32).at[seg].max(
+        pos + 1, mode="drop", indices_are_sorted=True)
+    ssum = pref[seg_end] - pref[seg_start]
+    cnt = (seg_end - seg_start).astype(jnp.float32)
+    m = ssum / jnp.clip(cnt, 1.0)[:, None]
+    return m.at[seg].get(mode="fill", fill_value=0, indices_are_sorted=True)
+
+
+def main2():
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_tpu_cache")
+    for name, fn in [("invg_s2d", invgath_s2d), ("invg_pack", invgath_packed),
+                     ("mean3", mean3), ("mean4", mean4), ("meanscan", meanscan)]:
+        bench(name, fn)
+
+
+if __name__ == "__main__":
+    import os
+    which = os.environ.get("SCATTER_BENCH", "2")
+    if which in ("1", "all"):
+        main1()
+    if which in ("2", "all"):
+        main2()
