@@ -207,9 +207,7 @@ class PillarRes18BackBone8xAS(nn.Module):
                 out[f"as{stage}"] = (x, uids)
             else:
                 if dense_x is None:  # hand off: densify the current table
-                    dense_x, dense_mask = jax.vmap(
-                        lambda f, u: asx.densify(f, u, (sh, sw))
-                    )(x, uids)
+                    dense_x, dense_mask = asx.densify_batch(x, uids, (sh, sw))
                 dense_x, dense_mask = SparseDownBlock(
                     feat_ch, self.dtype, name=f"conv{stage}_down"
                 )(dense_x, dense_mask, train)
@@ -224,9 +222,7 @@ class PillarRes18BackBone8xAS(nn.Module):
                 out[f"mask{stage}"] = dense_mask
 
         if dense_x is None:  # dense_from == 5: densify conv4's table output
-            dense_x, dense_mask = jax.vmap(lambda f, u: asx.densify(f, u, (sh, sw)))(
-                x, uids
-            )
+            dense_x, dense_mask = asx.densify_batch(x, uids, (sh, sw))
             out["x_conv4"], out["mask4"] = dense_x, dense_mask
 
         # ---- conv5: dense stride-2 stage (reference runs dense here too)
@@ -244,8 +240,6 @@ class PillarRes18BackBone8xAS(nn.Module):
             for stage, s in ((1, 1), (2, 2), (3, 4), (4, 8)):
                 if f"as{stage}" in out:
                     f_, u_ = out[f"as{stage}"]
-                    d_, m_ = jax.vmap(
-                        lambda a, b: asx.densify(a, b, (h // s, w // s))
-                    )(f_, u_)
+                    d_, m_ = asx.densify_batch(f_, u_, (h // s, w // s))
                     out[f"x_conv{stage}"], out[f"mask{stage}"] = d_, m_
         return out

@@ -358,9 +358,7 @@ class PillarRes18BackBone8xS2D(nn.Module):
             from ..ops import active_site as asx
 
             table, uids = bev, mask  # (B, cap, C), (B, cap)
-            x, mask = jax.vmap(
-                lambda f, u: asx.densify_packed(f, u, self.hw)
-            )(table, uids)
+            x, mask = asx.densify_packed_batch(table, uids, self.hw)
             mask_p = pack_mask(mask)
             # inactive cells gather the zero sentinel row: already masked
         else:

@@ -204,9 +204,7 @@ class DynamicPillarVFESimple2D(nn.Module):
             points, point_mask, train, capacity=points.shape[1]
         )
         nx, ny = self.grid_size
-        bev, pillar_mask = jax.vmap(
-            lambda t, u: asx.densify(t, u, (ny, nx))
-        )(table, uids)
+        bev, pillar_mask = asx.densify_batch(table, uids, (ny, nx))
         return bev, pillar_mask
 
     @property

@@ -252,6 +252,113 @@ def densify(feats: jnp.ndarray, uids: jnp.ndarray, hw: Tuple[int, int]):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _densify_rows_b(feats, uids, hw_flat):
+    """Batched :func:`_densify_rows` over (B, cap, C) tables as ONE flat 2D
+    gather.
+
+    vmapping the per-sample densify hands XLA a batched gather whose table
+    operand gets a batch-interleaved {2,0,1} layout (plus 4x lane padding at
+    C=32) — measured 8 GB/s / 141 ms/step at bs4 (r2 profile, fusion.7640).
+    Flattening (B, cap+1, C) -> (B*(cap+1), C) and offsetting the indices
+    keeps the table rows contiguous; the one relayout copy this may insert
+    is full-bandwidth."""
+    b, cap, c = feats.shape
+    feats_z = jnp.concatenate(
+        [feats, jnp.zeros((b, 1, c), feats.dtype)], axis=1
+    ).reshape(b * (cap + 1), c)
+    inv = jax.vmap(lambda u: site_index_grid(u, hw_flat, cap))(uids)  # (B, hw)
+    flat_idx = inv + jnp.arange(b, dtype=inv.dtype)[:, None] * (cap + 1)
+    rows = feats_z.at[flat_idx.reshape(-1)].get(mode="clip").reshape(
+        b, hw_flat, c
+    )
+    return rows, inv < cap
+
+
+def _densify_rows_b_fwd(feats, uids, hw_flat):
+    return _densify_rows_b(feats, uids, hw_flat), uids
+
+
+def _densify_rows_b_bwd(hw_flat, uids, grads):
+    g_dense, _ = grads  # (B, hw, C)
+    b, cap = uids.shape
+    c = g_dense.shape[-1]
+    valid = uids < hw_flat
+    flat_u = jnp.clip(uids, 0, hw_flat - 1) + jnp.arange(
+        b, dtype=uids.dtype
+    )[:, None] * hw_flat
+    g = g_dense.reshape(b * hw_flat, c).at[flat_u.reshape(-1)].get(
+        mode="clip"
+    ).reshape(b, cap, c)
+    return g * valid[..., None].astype(g.dtype), None
+
+
+_densify_rows_b.defvjp(_densify_rows_b_fwd, _densify_rows_b_bwd)
+
+
+def densify_batch(feats: jnp.ndarray, uids: jnp.ndarray, hw: Tuple[int, int]):
+    """(B, cap, C) tables -> (B, H, W, C) dense + (B, H, W) mask (flat
+    batched gather; see :func:`_densify_rows_b`)."""
+    h, w = hw
+    b, _, c = feats.shape
+    rows, active = _densify_rows_b(feats, uids, h * w)
+    return rows.reshape(b, h, w, c), active.reshape(b, h, w)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _densify_packed_rows_b(feats, uids, hw):
+    """Batched packed densify as one flat gather (see _densify_rows_b)."""
+    h, w = hw
+    b, cap, c = feats.shape
+    feats_z = jnp.concatenate(
+        [feats, jnp.zeros((b, 1, c), feats.dtype)], axis=1
+    ).reshape(b * (cap + 1), c)
+    inv = jax.vmap(lambda u: site_index_grid(u, h * w, cap))(uids)
+    inv_p = (
+        inv.reshape(b, h // 2, 2, w // 2, 2)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, h // 2, w // 2, 4)
+    )
+    flat_idx = inv_p + jnp.arange(b, dtype=inv.dtype)[:, None, None, None] * (cap + 1)
+    rows = feats_z.at[flat_idx.reshape(-1)].get(mode="clip").reshape(
+        b, h // 2, w // 2, 4, c
+    )
+    return rows, (inv < cap).reshape(b, h, w)
+
+
+def _densify_packed_rows_b_fwd(feats, uids, hw):
+    return _densify_packed_rows_b(feats, uids, hw), uids
+
+
+def _densify_packed_rows_b_bwd(hw, uids, grads):
+    g_packed, _ = grads  # (B, h2, w2, 4, C)
+    h, w = hw
+    b, cap = uids.shape
+    c = g_packed.shape[-1]
+    valid = uids < h * w
+    u = jnp.clip(uids, 0, h * w - 1)
+    y, x = u // w, u % w
+    packed_flat = (
+        ((y // 2) * (w // 2) + x // 2) * 4 + (y % 2) * 2 + (x % 2)
+        + jnp.arange(b, dtype=uids.dtype)[:, None] * ((h // 2) * (w // 2) * 4)
+    )
+    g = g_packed.reshape(b * (h // 2) * (w // 2) * 4, c).at[
+        packed_flat.reshape(-1)
+    ].get(mode="clip").reshape(b, cap, c)
+    return g * valid[..., None].astype(g.dtype), None
+
+
+_densify_packed_rows_b.defvjp(_densify_packed_rows_b_fwd, _densify_packed_rows_b_bwd)
+
+
+def densify_packed_batch(feats, uids, hw: Tuple[int, int]):
+    """(B, cap, C) tables -> (B, H/2, W/2, 4*C) packed + (B, H, W) mask."""
+    h, w = hw
+    b, _, c = feats.shape
+    rows, mask = _densify_packed_rows_b(feats, uids, hw)
+    return rows.reshape(b, h // 2, w // 2, 4 * c), mask
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _densify_packed_rows(feats, uids, hw):
     """(cap, C) table -> (H/2, W/2, 4, C) space-to-depth-packed dense grid.
 

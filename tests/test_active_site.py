@@ -197,3 +197,44 @@ def test_densify_packed_matches_densify_plus_s2d():
     _, m1 = asx.densify_packed(feats, uids, (h, w))
     _, m2 = asx.densify(feats, uids, (h, w))
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_densify_batch_matches_vmapped():
+    """Flat-batched densify (one 2D gather) == vmapped per-sample densify,
+    values and VJP."""
+    rng = np.random.RandomState(13)
+    h = w = 16
+    b, c, cap = 3, 6, 32
+    feats = jnp.asarray(rng.randn(b, cap, c).astype(np.float32))
+    uids_np = np.full((b, cap), h * w, np.int32)
+    for i in range(b):
+        k = rng.randint(5, cap)
+        uids_np[i, :k] = np.sort(rng.choice(h * w, k, replace=False))
+    uids = jnp.asarray(uids_np)
+    cot = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    cot_p = jnp.asarray(rng.randn(b, h // 2, w // 2, 4 * c).astype(np.float32))
+
+    def ref(f):
+        return jax.vmap(lambda a, u: asx.densify(a, u, (h, w))[0])(f, uids)
+
+    def bat(f):
+        return asx.densify_batch(f, uids, (h, w))[0]
+
+    np.testing.assert_allclose(np.asarray(bat(feats)), np.asarray(ref(feats)), rtol=1e-6)
+    m1 = asx.densify_batch(feats, uids, (h, w))[1]
+    m2 = jax.vmap(lambda a, u: asx.densify(a, u, (h, w))[1])(feats, uids)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    g1 = jax.grad(lambda f: jnp.sum(bat(f) * cot))(feats)
+    g2 = jax.grad(lambda f: jnp.sum(ref(f) * cot))(feats)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+    def refp(f):
+        return jax.vmap(lambda a, u: asx.densify_packed(a, u, (h, w))[0])(f, uids)
+
+    def batp(f):
+        return asx.densify_packed_batch(f, uids, (h, w))[0]
+
+    np.testing.assert_allclose(np.asarray(batp(feats)), np.asarray(refp(feats)), rtol=1e-6)
+    g1 = jax.grad(lambda f: jnp.sum(batp(f) * cot_p))(feats)
+    g2 = jax.grad(lambda f: jnp.sum(refp(f) * cot_p))(feats)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
