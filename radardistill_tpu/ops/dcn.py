@@ -24,14 +24,59 @@ import jax
 import jax.numpy as jnp
 
 
-def _bilinear_gather(x_flat, h, w, H, W):
-    """x_flat: (HW, C); h, w: (...,) float coords. Zero outside. -> (..., C)."""
-    h0 = jnp.floor(h)
-    w0 = jnp.floor(w)
-    dh = h - h0
-    dw = w - w0
+@jax.custom_vjp
+def _permute_rows(x, perm, inv_perm):
+    """y[i] = x[perm[i]] with a VJP that is ALSO a gather (g[inv_perm])
+    instead of the permutation scatter autodiff would emit."""
+    return x[perm]
 
-    out = 0.0
+
+def _permute_rows_fwd(x, perm, inv_perm):
+    return x[perm], inv_perm
+
+
+def _permute_rows_bwd(inv_perm, g):
+    return g[inv_perm], None, None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+def _bilinear_gather(x_flat, h, w, H, W):
+    """x_flat: (HW, C); h, w: (...,) float coords. Zero outside. -> (..., C).
+
+    Sorted-domain formulation: one argsort of the base-cell index makes all
+    four corner gathers monotone (corner offsets preserve order; boundary
+    saturations are hole-filled with a cummax and zeroed by the weight), so
+    the gathers AND their VJP scatter-adds carry `indices_are_sorted=True`
+    — jax propagates the flag through the gather transpose. The unsorted
+    scatter-adds of the plain formulation ran at ~26 GB/s (46 ms/step of
+    DCN backward at bs4, r2 profile)."""
+    shape = h.shape
+    c = x_flat.shape[-1]
+    hf = h.reshape(-1)
+    wf = w.reshape(-1)
+    h0f = jnp.floor(hf)
+    w0f = jnp.floor(wf)
+    # lexicographic key on the TRUE base cell clipped to the one-cell halo
+    # [-1, H-1]: every corner's in-range indices are then monotone in sort
+    # order (a clipped/per-corner key interleaves boundary rows and breaks
+    # it — and a violated sorted-gather hint returns wrong values on TPU).
+    # Fully-out-of-range rows merge under the clip; they are weight-masked
+    # and hole-filled below, so their position is irrelevant.
+    key = (jnp.clip(h0f, -1, H - 1) + 1).astype(jnp.int32) * (W + 1) + (
+        jnp.clip(w0f, -1, W - 1) + 1
+    ).astype(jnp.int32)
+    order = jnp.argsort(key)
+    inv_order = jnp.argsort(order)
+    hs = _permute_rows(hf, order, inv_order)
+    ws = _permute_rows(wf, order, inv_order)
+    h0 = jnp.floor(hs)
+    w0 = jnp.floor(ws)
+    dh = hs - h0
+    dw = ws - w0
+
+    out = jnp.zeros((hs.shape[0], c), x_flat.dtype)
     for (hi, wi, wt) in (
         (h0, w0, (1 - dh) * (1 - dw)),
         (h0, w0 + 1, (1 - dh) * dw),
@@ -39,10 +84,16 @@ def _bilinear_gather(x_flat, h, w, H, W):
         (h0 + 1, w0 + 1, dh * dw),
     ):
         ok = (hi >= 0) & (hi < H) & (wi >= 0) & (wi < W)
-        idx = jnp.clip(hi, 0, H - 1).astype(jnp.int32) * W + jnp.clip(wi, 0, W - 1).astype(jnp.int32)
-        vals = jnp.take(x_flat, idx.reshape(-1), axis=0).reshape(idx.shape + (x_flat.shape[-1],))
+        idx = (
+            jnp.clip(hi, 0, H - 1).astype(jnp.int32) * W
+            + jnp.clip(wi, 0, W - 1).astype(jnp.int32)
+        )
+        # clip saturation at the grid edge can locally break monotonicity;
+        # those entries are weight-masked to zero, so fill the holes forward
+        idx_mono = jnp.clip(jax.lax.cummax(jnp.where(ok, idx, -1)), 0, H * W - 1)
+        vals = x_flat.at[idx_mono].get(mode="clip", indices_are_sorted=True)
         out = out + vals * (wt * ok)[..., None].astype(x_flat.dtype)
-    return out
+    return _permute_rows(out, inv_order, order).reshape(shape + (c,))
 
 
 def modulated_deform_conv(

@@ -71,3 +71,56 @@ def test_gradients_flow():
     for g_ in grads:
         assert np.all(np.isfinite(np.asarray(g_)))
         assert np.abs(np.asarray(g_)).max() > 0
+
+
+def test_sorted_bilinear_matches_plain_formulation():
+    """The sorted-domain bilinear gather (one argsort + monotone corner
+    indices + custom-VJP permutes) must match the plain formulation in both
+    value and gradients (x, offsets near boundaries included)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radardistill_tpu.ops.dcn import _bilinear_gather
+
+    def plain(x_flat, h, w, H, W):
+        h0 = jnp.floor(h)
+        w0 = jnp.floor(w)
+        dh = h - h0
+        dw = w - w0
+        out = 0.0
+        for (hi, wi, wt) in (
+            (h0, w0, (1 - dh) * (1 - dw)),
+            (h0, w0 + 1, (1 - dh) * dw),
+            (h0 + 1, w0, dh * (1 - dw)),
+            (h0 + 1, w0 + 1, dh * dw),
+        ):
+            ok = (hi >= 0) & (hi < H) & (wi >= 0) & (wi < W)
+            idx = (jnp.clip(hi, 0, H - 1).astype(jnp.int32) * W
+                   + jnp.clip(wi, 0, W - 1).astype(jnp.int32))
+            vals = jnp.take(x_flat, idx.reshape(-1), axis=0).reshape(
+                idx.shape + (x_flat.shape[-1],))
+            out = out + vals * (wt * ok)[..., None].astype(x_flat.dtype)
+        return out
+
+    rng = np.random.RandomState(0)
+    H = W = 12
+    C = 5
+    M = 200
+    x = jnp.asarray(rng.randn(H * W, C).astype(np.float32))
+    # coords spanning interior, boundary, and out-of-range (both sides)
+    h = jnp.asarray(rng.uniform(-3, H + 3, M).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-3, W + 3, M).astype(np.float32))
+    cot = jnp.asarray(rng.randn(M, C).astype(np.float32))
+
+    v1 = _bilinear_gather(x, h, w, H, W)
+    v2 = plain(x, h, w, H, W)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-6)
+
+    def loss(fn, x, h, w):
+        return jnp.sum(fn(x, h, w, H, W) * cot)
+
+    g1 = jax.grad(loss, argnums=(1, 2, 3))(_bilinear_gather, x, h, w)
+    g2 = jax.grad(loss, argnums=(1, 2, 3))(plain, x, h, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
