@@ -129,19 +129,28 @@ class DynamicPillarVFESimple2D(nn.Module):
         return self._assemble_features(points, valid, ids, mean)
 
     def _slot_mean(self, xyz, valid, slot, capacity):
-        """Cluster mean per point via the compact pillar table (slot)."""
-        def mean_back(p, v, sl):
-            pm = jnp.where(v[..., None], p, 0.0)
-            s = jnp.zeros((capacity, 3), p.dtype).at[sl].add(
-                pm, mode="drop", indices_are_sorted=True
-            )
-            n = jnp.zeros((capacity,), p.dtype).at[sl].add(
-                v.astype(p.dtype), mode="drop", indices_are_sorted=True
-            )
-            m = s / jnp.clip(n, 1.0)[..., None]
-            return m.at[sl].get(mode="fill", fill_value=0, indices_are_sorted=True)
+        """Cluster mean per point via the compact pillar table (slot).
 
-        return jax.vmap(mean_back)(xyz, valid, slot)
+        Flat-batched (see ops/active_site._densify_rows_b: vmapped batched
+        scatters take batch-interleaved layouts) and fused to ONE width-4
+        [x, y, z, count] scatter. Sentinel slots (== capacity) land on the
+        per-sample junk row cap and gather junk means for invalid points —
+        masked downstream by _assemble_features' where(valid)."""
+        b, n_pts, _ = xyz.shape
+        xyz1 = jnp.concatenate(
+            [jnp.where(valid[..., None], xyz, 0.0),
+             valid[..., None].astype(xyz.dtype)], axis=-1,
+        ).reshape(-1, 4)
+        flat = (
+            slot + jnp.arange(b, dtype=slot.dtype)[:, None] * (capacity + 1)
+        ).reshape(-1)
+        s = jnp.zeros((b * (capacity + 1), 4), xyz.dtype).at[flat].add(
+            xyz1, mode="drop", indices_are_sorted=True
+        )
+        m = s[:, :3] / jnp.clip(s[:, 3:], 1.0)
+        return m.at[flat].get(mode="clip", indices_are_sorted=True).reshape(
+            b, n_pts, 3
+        )
 
     def encode_table(self, points, point_mask, train: bool, capacity: int):
         """Shared compact-table encoder: sort points by pillar id once,
@@ -236,18 +245,26 @@ class PFNLayerV2Sparse(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
-        def seg_max(xf, sl):
-            t = jnp.full((self.capacity, xf.shape[-1]), -jnp.inf, xf.dtype).at[sl].max(
-                xf, mode="drop", indices_are_sorted=True
-            )
-            return jnp.where(jnp.isneginf(t), 0.0, t)
-
-        table = jax.vmap(seg_max)(x, slot)
+        # flat-batched segment max (vmapped batched scatters take
+        # batch-interleaved layouts — see ops/active_site._densify_rows_b);
+        # per-sample junk row `capacity` absorbs sentinel slots
+        b, n_pts, ch_out = x.shape
+        cap1 = self.capacity + 1
+        flat = (
+            slot + jnp.arange(b, dtype=slot.dtype)[:, None] * cap1
+        ).reshape(-1)
+        t = jnp.full((b * cap1, ch_out), -jnp.inf, x.dtype).at[flat].max(
+            x.reshape(-1, ch_out), mode="drop", indices_are_sorted=True
+        )
+        t = jnp.where(jnp.isneginf(t), 0.0, t)
+        table = t.reshape(b, cap1, ch_out)[:, : self.capacity]
         if self.last_layer:
             return x, table
-        back = jax.vmap(
-            lambda t, sl: t.at[sl].get(mode="fill", fill_value=0, indices_are_sorted=True)
-        )(table, slot)
+        back = t.at[flat].get(mode="clip", indices_are_sorted=True).reshape(
+            b, n_pts, ch_out
+        )
+        # sentinel slots read the junk row; zero them (fill-mode semantics)
+        back = jnp.where((slot < self.capacity)[..., None], back, 0.0)
         return jnp.concatenate([x, back], axis=-1), None
 
 
