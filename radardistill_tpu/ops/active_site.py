@@ -262,15 +262,23 @@ def _densify_rows_b(feats, uids, hw_flat):
     Flattening (B, cap+1, C) -> (B*(cap+1), C) and offsetting the indices
     keeps the table rows contiguous; the one relayout copy this may insert
     is full-bandwidth."""
+    from .pallas_expand import BLK, expand_rows
+
     b, cap, c = feats.shape
     feats_z = jnp.concatenate(
         [feats, jnp.zeros((b, 1, c), feats.dtype)], axis=1
     ).reshape(b * (cap + 1), c)
     inv = jax.vmap(lambda u: site_index_grid(u, hw_flat, cap))(uids)  # (B, hw)
     flat_idx = inv + jnp.arange(b, dtype=inv.dtype)[:, None] * (cap + 1)
-    rows = feats_z.at[flat_idx.reshape(-1)].get(mode="clip").reshape(
-        b, hw_flat, c
-    )
+    # pad each sample's cells to a block multiple with -1 (zero rows) so
+    # expansion blocks never straddle samples (monotone-range invariant)
+    pad = (-hw_flat) % BLK
+    if pad:
+        flat_idx = jnp.concatenate(
+            [flat_idx, jnp.full((b, pad), -1, flat_idx.dtype)], axis=1
+        )
+    rows = expand_rows(feats_z, flat_idx.reshape(-1)).reshape(b, hw_flat + pad, c)
+    rows = rows[:, :hw_flat]
     return rows, inv < cap
 
 

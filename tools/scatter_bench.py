@@ -198,6 +198,55 @@ def main2():
         bench(name, fn)
 
 
+
+
+# ---- in-model replica variants: the in-model stride-1 gather runs at
+# 8 GB/s (140 ms/step) while the isolated invgath hit ~60 GB/s. Replicate
+# the exact in-model conditions: B=4 flat table, ~6% occupancy, long
+# sentinel runs; try the sorted-hint + cummax variant.
+
+B4 = 4
+
+
+def _flat_tables(ids, feats):
+    """Build the flat (B*(cap+1), C) table + per-sample inv as in-model."""
+    cap = N
+    tabs, invs = [], []
+    for b in range(B4):
+        idb = jnp.sort((ids + b * 7919) % (G * G))  # distinct per sample
+        seg = jnp.arange(N, dtype=jnp.int32)
+        tab = feats + b  # (N, C) arbitrary
+        inv = jnp.full((G * G,), cap, jnp.int32).at[idb].set(
+            seg, mode="drop", indices_are_sorted=True)
+        tabs.append(jnp.concatenate([tab, jnp.zeros((1, C), feats.dtype)]))
+        invs.append(inv)
+    return jnp.concatenate(tabs), jnp.stack(invs)  # (B*(N+1), C), (B, G*G)
+
+
+def flat6(ids, feats):
+    """exact in-model formulation (unsorted gather, sentinel holes)."""
+    table, inv = _flat_tables(ids, feats)
+    flat = inv + (jnp.arange(B4, dtype=jnp.int32)[:, None] * (N + 1))
+    return table.at[flat.reshape(-1)].get(mode="clip").reshape(B4, G * G, C)
+
+
+def flat6_sorted(ids, feats):
+    """cummax hole-fill -> globally monotone indices + sorted-gather hint."""
+    table, inv = _flat_tables(ids, feats)
+    active = inv < N
+    inv_ff = jnp.clip(jax.lax.cummax(jnp.where(active, inv, -1), axis=1), 0, N - 1)
+    flat = inv_ff + (jnp.arange(B4, dtype=jnp.int32)[:, None] * (N + 1))
+    rows = table.at[flat.reshape(-1)].get(
+        mode="clip", indices_are_sorted=True).reshape(B4, G * G, C)
+    return rows * active.reshape(B4, G * G, 1).astype(rows.dtype)
+
+
+def main3():
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_tpu_cache")
+    for name, fn in [("flat6", flat6), ("flat6_sort", flat6_sorted)]:
+        bench(name, fn)
+
+
 if __name__ == "__main__":
     import os
     which = os.environ.get("SCATTER_BENCH", "2")
@@ -205,3 +254,5 @@ if __name__ == "__main__":
         main1()
     if which in ("2", "all"):
         main2()
+    if which in ("3", "all"):
+        main3()
