@@ -134,11 +134,11 @@ def main():
     from radardistill_tpu.train.train_step import create_train_state, make_train_step
     from radardistill_tpu.utils.testing import CLASS_NAMES, make_model_cfg
 
-    # bs4 + no-remat is the measured best operating point (PERF.md r2:
-    # 5.55 samples/s vs 5.32 bs2-noremat, 4.89 bs4-remat, 4.71 bs2-remat);
-    # it also matches production: tools/train.py builds without remat.
+    # bs2 + no-remat is the measured best operating point after the pallas
+    # expand kernel (PERF.md r2: 6.73 vs 6.67 bs4; bs6/bs8 hit HBM faults).
+    # Matches production: tools/train.py builds without remat.
     grid = int(os.environ.get("BENCH_GRID", 1440))
-    batch_size = int(os.environ.get("BENCH_BS", 4))
+    batch_size = int(os.environ.get("BENCH_BS", 2))
     steps = int(os.environ.get("BENCH_STEPS", 10))
 
     from radardistill_tpu.utils.testing import apply_bench_backbone_env
