@@ -44,13 +44,15 @@ def infer_bench():
     from radardistill_tpu.data.collate import collate_batch
     from radardistill_tpu.data.synthetic import make_scene
     from radardistill_tpu.models import build_network
-    from radardistill_tpu.utils.testing import make_model_cfg
-
+    from radardistill_tpu.utils.production import VAL_YAML, production_cfg
     from radardistill_tpu.utils.testing import apply_bench_backbone_env
 
+    # the SHIPPED eval yaml is the single source of truth (radar-only eval
+    # formulation, reference radar_distill_val.yaml); BENCH_GRID is dev-only
     grid = int(os.environ.get("BENCH_GRID", 1440))
-    cfg, info = make_model_cfg(grid=grid, teacher=False, radar=True, distill=None)
-    apply_bench_backbone_env(cfg)
+    full, info = production_cfg(VAL_YAML, grid=grid)
+    cfg = full.MODEL
+    apply_bench_backbone_env(cfg)  # no-op unless BENCH_* knobs explicitly set
     model = build_network(cfg, info, compute_dtype=jnp.bfloat16)
     s = make_scene(0, num_lidar=100, num_radar=3000, num_boxes=40,
                    pc_range=info["point_cloud_range"])
@@ -121,18 +123,23 @@ def infer_bench():
 
 def main():
     _enable_compile_cache()
+    if os.environ.get("BENCH_PLATFORM"):
+        # dev-only: run the bench graph on CPU (tiny BENCH_GRID) — the env
+        # var route is dead because sitecustomize pins JAX_PLATFORMS=axon
+        import jax
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     if os.environ.get("BENCH_MODE") == "infer":
         return infer_bench()
     import jax
     import jax.numpy as jnp
 
-    from radardistill_tpu.config import ConfigDict
     from radardistill_tpu.data.collate import collate_batch
     from radardistill_tpu.data.synthetic import make_scene
     from radardistill_tpu.models import build_network
     from radardistill_tpu.train.optim import build_optimizer
     from radardistill_tpu.train.train_step import create_train_state, make_train_step
-    from radardistill_tpu.utils.testing import CLASS_NAMES, make_model_cfg
+    from radardistill_tpu.utils.production import production_cfg
+    from radardistill_tpu.utils.testing import CLASS_NAMES, apply_bench_backbone_env
 
     # bs2 + no-remat is the measured best operating point after the pallas
     # expand kernel (PERF.md r2: 6.73 vs 6.67 bs4; bs6/bs8 hit HBM faults).
@@ -141,13 +148,12 @@ def main():
     batch_size = int(os.environ.get("BENCH_BS", 2))
     steps = int(os.environ.get("BENCH_STEPS", 10))
 
-    from radardistill_tpu.utils.testing import apply_bench_backbone_env
-
-    cfg, info = make_model_cfg(grid=grid, teacher=True, radar=True, distill=True)
-    # default production formulation: S2D teacher + active-site radar
-    # (BENCH_S2D / BENCH_AS knobs — see apply_bench_backbone_env; PERF.md)
-    os.environ.setdefault("BENCH_AS", "radar")
-    apply_bench_backbone_env(cfg)
+    # the SHIPPED training yaml is the single source of truth for the
+    # benchmarked formulation (VERDICT r2 weak #2): S2D teacher + AS radar
+    # live in radar_distill_train.yaml itself, not in bench-only env knobs.
+    full, info = production_cfg(grid=grid)
+    cfg = full.MODEL
+    apply_bench_backbone_env(cfg)  # no-op unless BENCH_* knobs explicitly set
     model = build_network(
         cfg, info, compute_dtype=jnp.bfloat16,
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
@@ -167,11 +173,7 @@ def main():
     b.pop("_host", None)
     batch = {k: jnp.asarray(v) for k, v in b.items()}
 
-    optim_cfg = ConfigDict(
-        OPTIMIZER="adam_onecycle", LR=1e-3, WEIGHT_DECAY=0.01,
-        MOMS=[0.95, 0.85], PCT_START=0.4, DIV_FACTOR=10, GRAD_NORM_CLIP=10,
-    )
-    tx, _ = build_optimizer(optim_cfg, None, total_steps=1000)
+    tx, _ = build_optimizer(full.OPTIMIZATION, None, total_steps=1000)
     state = create_train_state(model, tx, batch)
     step_fn = make_train_step(model, tx, cfg, CLASS_NAMES, info["voxel_size"],
                               info["point_cloud_range"])

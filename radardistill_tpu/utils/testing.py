@@ -144,16 +144,29 @@ def make_model_cfg(
 def apply_bench_backbone_env(cfg):
     """Apply the bench/bisection backbone-selection env knobs to a model cfg
     (shared by bench.py and tools/*_bench.py so every harness measures the
-    same formulation):
+    same formulation). Since round 3 these are DEV-ONLY overrides: every var
+    defaults to unset = leave the cfg exactly as the shipped yaml says
+    (VERDICT r2 weak #2 — bench must not silently diverge from production).
 
-      BENCH_S2D=1|2      space-to-depth packed stage-1(/2) backbones
-      BENCH_AS=radar|both|teacher   active-site gather-scatter backbones
+      BENCH_S2D=0|1|2    plain / space-to-depth packed stage-1(/2) backbones
+      BENCH_AS=radar|both|teacher|0   active-site gather-scatter backbones
       BENCH_AS_RCAPS / BENCH_AS_RDF   radar table capacities / DENSE_FROM
       BENCH_AS_TCAPS / BENCH_AS_TDF   teacher table capacities / DENSE_FROM
     """
     import os
 
-    s2d = os.environ.get("BENCH_S2D", "1")
+    def _strip(cfg_sub, suffixes):
+        base = cfg_sub["NAME"]
+        for suf in suffixes:
+            if base.endswith(suf):
+                base = base[: -len(suf)]
+        cfg_sub["NAME"] = base
+
+    s2d = os.environ.get("BENCH_S2D", "")
+    if s2d == "0":
+        for key in ("BACKBONE_3D", "RADAR_BACKBONE_3D"):
+            if key in cfg:
+                _strip(cfg[key], ("_S2D2", "_S2D"))
     if s2d in ("1", "2"):
         suffix = "_S2D2" if s2d == "2" else "_S2D"
         if "BACKBONE_3D" in cfg:
@@ -166,7 +179,9 @@ def apply_bench_backbone_env(cfg):
         cfg.BACKBONE_3D.TABLE_INPUT = True
         cfg.BACKBONE_3D.TABLE_CAPACITY = int(
             os.environ.get("BENCH_LIDAR_PTS", 160_000))
-    as_mode = os.environ.get("BENCH_AS", "0")
+    as_mode = os.environ.get("BENCH_AS", "")
+    if as_mode == "0" and "RADAR_BACKBONE_3D" in cfg:
+        _strip(cfg.RADAR_BACKBONE_3D, ("_AS",))
     if as_mode in ("radar", "both", "1") and "RADAR_BACKBONE_3D" in cfg:
         cfg.RADAR_BACKBONE_3D.NAME = "Radar_PillarRes18BackBone8x_AS"
         cfg.RADAR_BACKBONE_3D.MAX_ACTIVE = [

@@ -30,14 +30,14 @@ def main():
     from radardistill_tpu.models import build_network, compute_training_loss
     from radardistill_tpu.train.optim import build_optimizer
     from radardistill_tpu.train.train_step import create_train_state
-    from radardistill_tpu.utils.testing import CLASS_NAMES, make_model_cfg
-
-    from radardistill_tpu.utils.testing import apply_bench_backbone_env
+    from radardistill_tpu.utils.production import production_cfg
+    from radardistill_tpu.utils.testing import CLASS_NAMES, apply_bench_backbone_env
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     grid, bs = 1440, 2
-    cfg, info = make_model_cfg(grid=grid, teacher=True, radar=True, distill=True)
-    apply_bench_backbone_env(cfg)  # same BENCH_S2D / BENCH_AS knobs as bench.py
+    full, info = production_cfg(grid=grid)
+    cfg = full.MODEL
+    apply_bench_backbone_env(cfg)  # same DEV-ONLY BENCH_* knobs as bench.py
     model = build_network(cfg, info, compute_dtype=jnp.bfloat16, remat=True)
     caps = {"MAX_LIDAR_POINTS": 160_000, "MAX_RADAR_POINTS": 4096, "NUM_MAX_OBJS": 500}
     samples = [make_scene(i, num_lidar=160_000, num_radar=3000, num_boxes=60,
