@@ -49,6 +49,44 @@ def parse_config():
     return args, cfg
 
 
+def repeat_eval_ckpt(ckpt_mgr, record_file, max_waiting_mins, restore_fn,
+                     eval_fn, logger, sleep=time.sleep, clock=time.time,
+                     poll_interval=30.0):
+    """--eval_all watcher (reference tools/test.py:451-506): poll the ckpt
+    dir, skip epochs already listed in the record file, evaluate new arrivals
+    in epoch order (appending each to the record), tolerate unloadable
+    checkpoints (restore_fn -> None), and exit once nothing new has arrived
+    for max_waiting_mins. `sleep`/`clock` are injectable for tests
+    (tests/test_eval_all_watcher.py)."""
+    record_file = Path(record_file)
+    evaluated = set()
+    if record_file.exists():
+        evaluated = set(int(x) for x in record_file.read_text().split())
+    wait_start = clock()
+    while True:
+        todo = [e for e in ckpt_mgr.list_epochs() if e not in evaluated]
+        progressed = False
+        for e in sorted(todo):
+            restored = restore_fn(e)
+            if restored is None:
+                continue  # mid-write/corrupt ckpt: retried next poll
+            result = eval_fn(e, restored)
+            logger.info(f"epoch {e}: {result}")
+            evaluated.add(e)
+            with open(record_file, "a") as f:
+                f.write(f"{e}\n")
+            progressed = True
+        if progressed:
+            # reference resets the wait budget only when a ckpt was actually
+            # evaluated (total_time=0, tools/test.py:483)
+            wait_start = clock()
+        else:
+            if clock() - wait_start > max_waiting_mins * 60:
+                break
+            sleep(poll_interval)
+    return evaluated
+
+
 def eval_ckpt(args, cfg, state, model, test_set, test_loader, logger, output_dir, epoch_tag):
     import jax
 
@@ -177,31 +215,18 @@ def main():
     ckpt_mgr = CheckpointManager(args.ckpt_dir or output_dir.parent / "ckpt")
 
     if args.eval_all:
-        # watcher loop (tools/test.py:451-506)
-        record_file = output_dir / f"eval_list_{args.eval_tag}.txt"
-        evaluated = set()
-        if record_file.exists():
-            evaluated = set(int(x) for x in record_file.read_text().split())
-        wait_start = time.time()
-        while True:
-            todo = [e for e in ckpt_mgr.list_epochs() if e not in evaluated]
-            if not todo:
-                if time.time() - wait_start > args.max_waiting_mins * 60:
-                    break
-                time.sleep(30)
-                continue
-            wait_start = time.time()
-            for e in sorted(todo):
-                restored = ckpt_mgr.restore(state, epoch=e)
-                if restored is None:
-                    continue
-                st, _, _ = restored
-                result = eval_ckpt(args, cfg, st, model, test_set, test_loader,
-                                   logger, output_dir, f"epoch_{e}")
-                logger.info(f"epoch {e}: {result}")
-                evaluated.add(e)
-                with open(record_file, "a") as f:
-                    f.write(f"{e}\n")
+        def restore_fn(e):
+            restored = ckpt_mgr.restore(state, epoch=e)
+            return restored[0] if restored is not None else None
+
+        def eval_fn(e, st):
+            return eval_ckpt(args, cfg, st, model, test_set, test_loader,
+                             logger, output_dir, f"epoch_{e}")
+
+        repeat_eval_ckpt(
+            ckpt_mgr, output_dir / f"eval_list_{args.eval_tag}.txt",
+            args.max_waiting_mins, restore_fn, eval_fn, logger,
+        )
     else:
         if args.ckpt:
             state = ckpt_mgr.load_params_from_file(state, args.ckpt)
