@@ -71,7 +71,16 @@ class ConvNeXtBlock(nn.Module):
             offset = jnp.concatenate([o1, o2], axis=-1)
             m = jax.nn.sigmoid(m)
             w = self.param("down_weight", conv_kernel_init_torch, (3, 3, self.dim, self.dim))
+            # the reference's ModulatedDeformConv(bias=False) still CREATES
+            # and kaiming-inits a bias, freezing it via requires_grad=False
+            # (modulated_deform_conv.py:38-41, :47-49) — a fixed additive
+            # bias that ships in its checkpoints. Carried here as a
+            # stop_gradient'ed param (never trained, matching the reference;
+            # excluded from AdamW decay via optim.freeze_mask) so converted
+            # checkpoints reproduce the reference forward exactly.
+            b = self.param("down_bias", nn.initializers.zeros, (self.dim,))
             x = modulated_deform_conv(x, offset, m, w, stride=2, padding=1)
+            x = x + jax.lax.stop_gradient(b).astype(x.dtype)
 
         identity = x
         x = Conv2dTorch(self.dim, 7, 1, 3, use_bias=True, groups=self.dim, dtype=self.dtype, name="dwconv")(x)

@@ -55,17 +55,28 @@ def one_cycle_mom(total_steps: int, moms: Sequence[float], pct_start: float):
     return sched
 
 
-def freeze_mask(params, frozen_scopes):
-    """True (=trainable) mask pytree; frozen top-level scopes get False.
+FROZEN_LEAVES = ("down_bias",)  # DCN bias: requires_grad=False in the
+                                # reference (modulated_deform_conv.py:41)
 
-    Note: frozen params already receive exactly-zero grads (detector
-    stop_gradient), so Adam moments stay zero; the mask exists to cancel the
-    decoupled weight decay, which AdamW would otherwise apply to them."""
-    import jax
+
+def freeze_mask(params, frozen_scopes):
+    """True (=trainable) mask pytree; frozen top-level scopes get False,
+    as do FROZEN_LEAVES anywhere in the tree.
+
+    Note: frozen params already receive exactly-zero grads (detector /
+    ConvNeXtBlock stop_gradient), so Adam moments stay zero; the mask exists
+    to cancel the decoupled weight decay, which AdamW would otherwise apply
+    to them (the reference's fastai true-wd skips grad-less params)."""
+
+    def walk(tree, frozen):
+        if not isinstance(tree, dict):
+            return not frozen
+        return {
+            k: walk(v, frozen or k in FROZEN_LEAVES) for k, v in tree.items()
+        }
 
     return {
-        k: jax.tree.map(lambda _: k not in frozen_scopes, v)
-        for k, v in params.items()
+        k: walk(v, k in frozen_scopes) for k, v in params.items()
     }
 
 
@@ -108,13 +119,17 @@ def build_optimizer(optim_cfg, params, total_steps: int, frozen_scopes=()):
         chain = [optax.clip_by_global_norm(float(clip))] + chain
     tx = optax.chain(*chain)
 
-    if frozen_scopes:
-        # exclude frozen scopes from the optimizer entirely: no moments, no
-        # decoupled weight decay, no per-step moment traffic for the frozen
-        # teacher (grads are exactly zero via stop_gradient, so the passed-
-        # through update is zero)
+    if params is not None:
+        # exclude frozen scopes (and always-frozen leaves like the DCN
+        # down_bias) from the optimizer entirely: no moments, no decoupled
+        # weight decay, no per-step moment traffic for the frozen teacher
+        # (grads are exactly zero via stop_gradient, so the passed-through
+        # update is zero)
+        import jax
+
         mask = freeze_mask(params, set(frozen_scopes))
-        tx = optax.masked(tx, mask)
+        if not all(jax.tree.leaves(mask)):
+            tx = optax.masked(tx, mask)
     return tx, lr_sched
 
 

@@ -99,6 +99,8 @@ def reference_state_dict(rng):
             if down:
                 conv(f"{base}.conv_offset_mask1", 27, 256, bias=True)
                 sd[f"{base}.down_layer.weight"] = rng.randn(256, 256, 3, 3).astype(np.float32)
+                # frozen-at-init DCN bias (exists despite bias=False)
+                sd[f"{base}.down_layer.bias"] = rng.randn(256).astype(np.float32)
         sd[f"radar_backbone_2d.decoder_{e}.0.weight"] = rng.randn(256, 256, 4, 4).astype(np.float32)
         sd[f"radar_backbone_2d.decoder_{e}.0.bias"] = rng.randn(256).astype(np.float32)
         bn(f"radar_backbone_2d.decoder_{e}.1", 256)

@@ -194,6 +194,10 @@ class Converter:
         elif mod == "down_layer":
             if leaf == "weight":
                 set_in(self.params, (scope, block, "down_weight"), t_conv(val))
+            elif leaf == "bias":
+                # frozen-at-init DCN bias (modulated_deform_conv.py:38-49);
+                # lives in reference checkpoints despite bias=False
+                set_in(self.params, (scope, block, "down_bias"), val)
         else:
             raise KeyError(mod)
 
