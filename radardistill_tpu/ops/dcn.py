@@ -108,6 +108,34 @@ def modulated_deform_conv(
     padding: int = 1,
     kernel_size: int = 3,
 ) -> jnp.ndarray:
+    """DCNv2 dispatcher: Pallas MXU kernels on TPU (fwd + full custom bwd,
+    offsets clamped to ±8 cells — ops/pallas_dcn.py), XLA sorted-domain
+    gather formulation elsewhere / for unsupported shapes. DCN_PALLAS=0
+    disables the kernel path for A/B measurement."""
+    import os
+
+    from .pallas_dcn import modulated_deform_conv_mxu, shapes_supported
+
+    if (
+        os.environ.get("DCN_PALLAS", "1") != "0"
+        and jax.devices()[0].platform == "tpu"
+        and shapes_supported(x.shape, offset.shape, stride, padding, kernel_size)
+    ):
+        return modulated_deform_conv_mxu(x, offset, mask, weight, stride, padding)
+    return _modulated_deform_conv_xla(
+        x, offset, mask, weight, stride, padding, kernel_size
+    )
+
+
+def _modulated_deform_conv_xla(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    stride: int = 1,
+    padding: int = 1,
+    kernel_size: int = 3,
+) -> jnp.ndarray:
     """DCNv2 forward.
 
     Args:
