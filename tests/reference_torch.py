@@ -37,27 +37,108 @@ def _stub_module(name, **attrs):
 def _install_stubs():
     import torch
     import torch.nn as nn
+    import torch.nn.functional as F
+
+    class SparseConvTensor:
+        """Dense-backed spconv 2.x SparseConvTensor: features (N, C) rows +
+        indices (N, 3) [b, y, x]. `.dense()` returns NCHW like spconv."""
+
+        def __init__(self, features, indices, spatial_shape, batch_size):
+            self.features = features
+            self.indices = indices
+            self.spatial_shape = [int(s) for s in spatial_shape]
+            self.batch_size = int(batch_size)
+
+        def dense(self):
+            h, w = self.spatial_shape
+            c = self.features.shape[1]
+            out = self.features.new_zeros(self.batch_size, h, w, c)
+            idx = self.indices.long()
+            out = out.index_put((idx[:, 0], idx[:, 1], idx[:, 2]), self.features)
+            return out.permute(0, 3, 1, 2).contiguous()
+
+        def replace_feature(self, f):
+            return SparseConvTensor(
+                f, self.indices, self.spatial_shape, self.batch_size)
 
     class _SparseConvBase(nn.Module):
-        """Registers weight/bias with spconv 2.x shapes: (O, kH, kW, I)."""
+        """Registers weight/bias with spconv 2.x shapes: (O, kH, kW, I), and
+        COMPUTES real sparse-conv forwards on the dense-backed tensor:
+        submanifold = centered dense conv gathered at the input sites;
+        strided sparse conv = strided dense conv with the output-site rule
+        'any active input in the receptive field' (max_pool of occupancy) —
+        spconv's arithmetic exactly (inactive sites contribute zeros)."""
 
         def __init__(self, in_channels, out_channels, kernel_size, stride=1,
                      padding=0, dilation=1, groups=1, bias=True,
                      indice_key=None, **kw):
             super().__init__()
             k = (kernel_size, kernel_size) if isinstance(kernel_size, int) else tuple(kernel_size)
-            self.weight = nn.Parameter(torch.zeros(out_channels, *k, in_channels))
+            self.kernel_size = k
+            self.stride = stride if isinstance(stride, tuple) else (stride, stride)
+            self.padding = padding if isinstance(padding, tuple) else (padding, padding)
+            # real spconv 2.x reset_parameters: kaiming_uniform(a=sqrt(5))
+            # on the (O, kH, kW, I) weight + torch-Conv-style bias bound
+            # (a zero init here would zero every strided block's output and
+            # make the radar-branch oracle degenerate)
+            import math
+
+            self.weight = nn.Parameter(
+                torch.empty(out_channels, *k, in_channels))
+            nn.init.kaiming_uniform_(self.weight, a=math.sqrt(5))
             if bias:
-                self.bias = nn.Parameter(torch.zeros(out_channels))
+                fan_in = in_channels * k[0] * k[1]
+                bound = 1.0 / math.sqrt(fan_in)
+                self.bias = nn.Parameter(
+                    torch.empty(out_channels).uniform_(-bound, bound))
+            else:
+                self.bias = None
+
+        def _w_oihw(self):
+            return self.weight.permute(0, 3, 1, 2)
 
     class SubMConv2d(_SparseConvBase):
-        pass
+        def forward(self, x):
+            d = x.dense()
+            pad = (self.kernel_size[0] // 2, self.kernel_size[1] // 2)
+            y = F.conv2d(d, self._w_oihw(), self.bias, stride=1, padding=pad)
+            idx = x.indices.long()
+            feats = y[idx[:, 0], :, idx[:, 1], idx[:, 2]]
+            return x.replace_feature(feats)
 
     class SparseConv2d(_SparseConvBase):
-        pass
+        def forward(self, x):
+            d = x.dense()
+            y = F.conv2d(d, self._w_oihw(), self.bias, stride=self.stride,
+                         padding=self.padding)
+            idx = x.indices.long()
+            occ = d.new_zeros(d.shape[0], 1, d.shape[2], d.shape[3])
+            occ[idx[:, 0], 0, idx[:, 1], idx[:, 2]] = 1.0
+            om = F.max_pool2d(occ, self.kernel_size, self.stride, self.padding)
+            new_idx = (om[:, 0] > 0).nonzero().int()
+            ni = new_idx.long()
+            feats = y[ni[:, 0], :, ni[:, 1], ni[:, 2]]
+            return SparseConvTensor(
+                feats, new_idx, list(y.shape[2:]), x.batch_size)
 
     class SparseInverseConv2d(_SparseConvBase):
         pass
+
+    class SparseSequential(nn.Sequential):
+        """Like spconv's: pointwise dense modules (BN1d/ReLU/...) apply to
+        .features; sparse convs and sparse containers get the tensor."""
+
+        _FEATURE_OPS = (nn.BatchNorm1d, nn.ReLU, nn.LeakyReLU, nn.GELU,
+                        nn.Sigmoid, nn.Identity, nn.Linear)
+
+        def forward(self, x):
+            for m in self:
+                if isinstance(x, SparseConvTensor) and isinstance(
+                        m, self._FEATURE_OPS):
+                    x = x.replace_feature(m(x.features))
+                else:
+                    x = m(x)
+            return x
 
     spconv = _stub_module(
         "spconv",
@@ -66,15 +147,39 @@ def _install_stubs():
         SubMConv2d=SubMConv2d,
         SparseConv2d=SparseConv2d,
         SparseInverseConv2d=SparseInverseConv2d,
-        SparseSequential=nn.Sequential,
+        SparseSequential=SparseSequential,
         SparseModule=nn.Module,
-        SparseConvTensor=object,
+        SparseConvTensor=SparseConvTensor,
+        conv=types.SimpleNamespace(SparseConvolution=_SparseConvBase),
     )
     sys.modules["spconv.pytorch"] = spconv
     spconv.pytorch = spconv
 
     _stub_module("openpyxl")
     _stub_module("SharedArray")
+
+    # real torch_scatter semantics (scatter_max returns (values, argmax);
+    # the reference only consumes [0] / scatter_mean, dynamic_pillar_vfe.py:40,105)
+    def _expand_index(src, index):
+        return index.view(-1, *([1] * (src.dim() - 1))).expand_as(src)
+
+    def _scatter_max(src, index, dim=0, dim_size=None):
+        assert dim == 0
+        n = dim_size or int(index.max().item()) + 1
+        out = src.new_zeros((n,) + src.shape[1:]).scatter_reduce(
+            0, _expand_index(src, index), src, reduce="amax", include_self=False
+        )
+        return out, None
+
+    def _scatter_mean(src, index, dim=0, dim_size=None):
+        assert dim == 0
+        n = dim_size or int(index.max().item()) + 1
+        return src.new_zeros((n,) + src.shape[1:]).scatter_reduce(
+            0, _expand_index(src, index), src, reduce="mean", include_self=False
+        )
+
+    _stub_module("torch_scatter", scatter_max=_scatter_max,
+                 scatter_mean=_scatter_mean)
 
     def _jit(*args, **kwargs):
         if len(args) == 1 and callable(args[0]) and not kwargs:
@@ -83,7 +188,62 @@ def _install_stubs():
 
     _stub_module("numba", jit=_jit, njit=_jit, prange=range)
 
-    # the DCN autograd wrappers (top-level `functions` package in reference)
+    def _mdcn_torch(inp, offset, mask, weight, bias, stride, padding,
+                    dilation=(1, 1), groups=1, deformable_groups=1,
+                    im2col_step=64):
+        """Real modulated deformable conv (CUDA-kernel semantics,
+        modulated_deform_im2col_cuda.cuh): offset channel 2k = Δy of tap k,
+        2k+1 = Δx; bilinear sampling with zeros outside; modulation applied
+        to the sampled value; plain autograd provides the backward."""
+        sh, sw = stride
+        ph, pw = padding
+        dh_, dw_ = dilation if isinstance(dilation, (tuple, list)) else (dilation, dilation)
+        B, Cin, H, W = inp.shape
+        O, _, kh, kw = weight.shape
+        K = kh * kw
+        Ho = (H + 2 * ph - (dh_ * (kh - 1) + 1)) // sh + 1
+        Wo = (W + 2 * pw - (dw_ * (kw - 1) + 1)) // sw + 1
+        dt = inp.dtype
+        ho = torch.arange(Ho, dtype=dt)
+        wov = torch.arange(Wo, dtype=dt)
+        kiv = torch.arange(kh, dtype=dt)
+        kjv = torch.arange(kw, dtype=dt)
+        base_h = (ho * sh - ph)[:, None, None, None] + (kiv * dh_)[None, None, :, None]
+        base_w = (wov * sw - pw)[None, :, None, None] + (kjv * dw_)[None, None, None, :]
+        base_h = base_h.expand(Ho, Wo, kh, kw).reshape(Ho, Wo, K)
+        base_w = base_w.expand(Ho, Wo, kh, kw).reshape(Ho, Wo, K)
+        off = offset.view(B, K, 2, Ho, Wo)
+        hs = base_h[None] + off[:, :, 0].permute(0, 2, 3, 1)  # (B,Ho,Wo,K)
+        ws = base_w[None] + off[:, :, 1].permute(0, 2, 3, 1)
+        xf = inp.permute(0, 2, 3, 1).reshape(B, H * W, Cin)
+
+        def gather(hi, wi):
+            ok = (hi >= 0) & (hi < H) & (wi >= 0) & (wi < W)
+            idx = (hi.clamp(0, H - 1) * W + wi.clamp(0, W - 1)).long()
+            v = torch.gather(
+                xf, 1, idx.reshape(B, -1, 1).expand(-1, -1, Cin))
+            return v.reshape(B, Ho, Wo, K, Cin) * ok[..., None].to(dt)
+
+        h0 = hs.floor()
+        w0 = ws.floor()
+        fh = hs - h0
+        fw = ws - w0
+        val = None
+        for a in (0, 1):
+            for b in (0, 1):
+                wt = (fh if a else 1 - fh) * (fw if b else 1 - fw)
+                term = gather(h0 + a, w0 + b) * wt[..., None]
+                val = term if val is None else val + term
+        val = val * mask.view(B, K, Ho, Wo).permute(0, 2, 3, 1)[..., None]
+        w2 = weight.permute(2, 3, 1, 0).reshape(K * Cin, O)
+        y = val.reshape(B, Ho * Wo, K * Cin) @ w2
+        y = y.reshape(B, Ho, Wo, O).permute(0, 3, 1, 2).contiguous()
+        if bias is not None:
+            y = y + bias.view(1, -1, 1, 1)
+        return y
+
+    # the DCN autograd wrappers (top-level `functions` package in reference);
+    # ModulatedDeformConvFunction gets the real CPU implementation above
     fns = _stub_module("functions")
     for sub, cls_names in (
         ("deform_conv_func", ["DeformConvFunction"]),
@@ -92,7 +252,10 @@ def _install_stubs():
     ):
         m = _stub_module(
             f"functions.{sub}",
-            **{c: type(c, (), {"apply": staticmethod(lambda *a, **k: None)})
+            **{c: type(c, (), {
+                "apply": staticmethod(
+                    _mdcn_torch if c == "ModulatedDeformConvFunction"
+                    else (lambda *a, **k: None))})
                for c in cls_names},
         )
         setattr(fns, sub, m)
@@ -144,10 +307,12 @@ def load_reference_model_cfg():
     return ConfigDict(raw)
 
 
-def build_reference_state_dict(grid=(1440, 1440, 1)):
+def build_reference_modules(grid=(1440, 1440, 1), keep_cuda_patch=False):
     """Instantiate every module of the reference RadarDistill detector
-    topology (detector3d_template.py module scope names) and concatenate
-    their state_dicts under those scopes. Returns {key: np.ndarray}."""
+    topology (detector3d_template.py module scope names) under compute-
+    capable stubs. Returns (modules dict, cfg). With keep_cuda_patch the
+    .cuda() neutralization stays installed (needed to FORWARD the modules
+    on CPU — assign_targets calls .cuda(), center_head.py:228)."""
     assert REFERENCE.exists(), "reference checkout not present"
     _install_stubs()
     if str(REFERENCE) not in sys.path:
@@ -191,7 +356,8 @@ def build_reference_state_dict(grid=(1440, 1440, 1)):
     model_cfg = cfg.MODEL
     class_names = list(cfg.CLASS_NAMES)
     grid_size = np.asarray(grid)
-    pcr = np.asarray([-54.0, -54.0, -5.0, 54.0, 54.0, 3.0], np.float32)
+    extent = grid[0] * 0.075 / 2  # same derivation as utils/testing.make_model_cfg
+    pcr = np.asarray([-extent, -extent, -5.0, extent, extent, 3.0], np.float32)
     voxel_size = np.asarray([0.075, 0.075, 8.0], np.float32)
 
     # num point features as the reference data layer provides them:
@@ -230,14 +396,24 @@ def build_reference_state_dict(grid=(1440, 1440, 1)):
 
     try:
         modules = _build_modules()
-        sd = {}
-        with torch.no_grad():
-            for scope, mod in modules.items():
-                for key, tensor in mod.state_dict().items():
-                    sd[f"{scope}.{key}"] = np.ascontiguousarray(
-                        tensor.detach().cpu().numpy()
-                    )
     finally:
-        torch.Tensor.cuda = orig_tensor_cuda
-        torch.nn.Module.cuda = orig_module_cuda
+        if not keep_cuda_patch:
+            torch.Tensor.cuda = orig_tensor_cuda
+            torch.nn.Module.cuda = orig_module_cuda
+    return modules, cfg
+
+
+def build_reference_state_dict(grid=(1440, 1440, 1)):
+    """State_dicts of the reference modules under detector scope names
+    ({key: np.ndarray}) — the converter-coverage oracle."""
+    import torch
+
+    modules, _ = build_reference_modules(grid)
+    sd = {}
+    with torch.no_grad():
+        for scope, mod in modules.items():
+            for key, tensor in mod.state_dict().items():
+                sd[f"{scope}.{key}"] = np.ascontiguousarray(
+                    tensor.detach().cpu().numpy()
+                )
     return sd
