@@ -213,11 +213,18 @@ class _PackedSubmConv(nn.Module):
     cout: int
     use_bias: bool
     dtype: Any = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from .layers import int8_conv
+
         k, b = _KernelHolder(self.cin, self.cout, self.use_bias, name="conv")()
         dt = self.dtype or x.dtype
+        if self.int8:
+            kp = pack_subm_kernel(k, self.cin, self.cout)
+            b4 = jnp.tile(b, 4) if b is not None else None
+            return int8_conv(x, kp, 1, ((1, 1), (1, 1)), b4, out_dtype=dt)
         kp = pack_subm_kernel(k.astype(dt), self.cin, self.cout)
         y = _conv(x.astype(dt), kp, ((1, 1), (1, 1)))
         if b is not None:
@@ -272,15 +279,16 @@ class S2DBasicBlock(nn.Module):
 
     features: int
     dtype: Any = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, mask_p, train):
         c = self.features
         m = _phase_mask_flat(mask_p, c).astype(x.dtype)
-        y = _PackedSubmConv(c, c, use_bias=True, dtype=self.dtype, name="conv1")(x)
+        y = _PackedSubmConv(c, c, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv1")(x)
         y = PackedMaskedBatchNorm(c, dtype=self.dtype, name="bn1")(y, mask_p, train)
         y = nn.relu(y) * m
-        y = _PackedSubmConv(c, c, use_bias=True, dtype=self.dtype, name="conv2")(y)
+        y = _PackedSubmConv(c, c, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv2")(y)
         y = PackedMaskedBatchNorm(c, dtype=self.dtype, name="bn2")(y, mask_p, train)
         return nn.relu(y + x) * m
 
@@ -292,16 +300,23 @@ class S2DDownBlock(nn.Module):
     cin: int
     features: int
     dtype: Any = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x_packed, mask, train):
+        from .layers import int8_conv
+
         # mask: ORIGINAL-resolution (B, H, W) occupancy (tiny; bookkeeping
         # stays at original resolution)
         new_mask = max_pool_mask(mask, 3, 2, 1)
         k, _ = _ConvScope(self.cin, self.features, False, name="conv")()
         dt = self.dtype or x_packed.dtype
-        kp = pack_down_kernel(k.astype(dt), self.cin, self.features)
-        y = _conv(x_packed.astype(dt), kp, ((1, 0), (1, 0)))
+        if self.int8:
+            kp = pack_down_kernel(k, self.cin, self.features)
+            y = int8_conv(x_packed, kp, 1, ((1, 0), (1, 0)), out_dtype=dt)
+        else:
+            kp = pack_down_kernel(k.astype(dt), self.cin, self.features)
+            y = _conv(x_packed.astype(dt), kp, ((1, 0), (1, 0)))
         y = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE,
                             dtype=self.dtype, name="bn")(y, new_mask, train)
         y = nn.relu(y)
@@ -316,15 +331,22 @@ class S2DDownBlockPacked(nn.Module):
     cin: int
     features: int
     dtype: Any = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x_packed, mask, train):
+        from .layers import int8_conv
+
         new_mask = max_pool_mask(mask, 3, 2, 1)   # original-resolution bookkeeping
         new_mask_p = pack_mask(new_mask)
         k, _ = _ConvScope(self.cin, self.features, False, name="conv")()
         dt = self.dtype or x_packed.dtype
-        kp = pack_down_kernel_packed_out(k.astype(dt), self.cin, self.features)
-        y = _conv(x_packed.astype(dt), kp, ((1, 1), (1, 1)), stride=2)
+        if self.int8:
+            kp = pack_down_kernel_packed_out(k, self.cin, self.features)
+            y = int8_conv(x_packed, kp, 2, ((1, 1), (1, 1)), out_dtype=dt)
+        else:
+            kp = pack_down_kernel_packed_out(k.astype(dt), self.cin, self.features)
+            y = _conv(x_packed.astype(dt), kp, ((1, 1), (1, 1)), stride=2)
         y = PackedMaskedBatchNorm(self.features, dtype=self.dtype, name="bn")(
             y, new_mask_p, train
         )
@@ -344,6 +366,7 @@ class PillarRes18BackBone8xS2D(nn.Module):
     dtype: Any = None
     unpack_outputs: bool = False
     pack_stage2: bool = False   # also run stage 2 packed (360², 4·64)
+    int8: bool = False          # frozen-teacher int8 convs (layers.int8_conv)
     # table input: consume the sparse VFE's (table, uids) directly and
     # densify straight INTO the packed layout (ops/active_site.py
     # densify_packed) — the dense stride-1 grid never exists in unpacked
@@ -366,43 +389,44 @@ class PillarRes18BackBone8xS2D(nn.Module):
             x = space_to_depth(bev)
             x = x * _phase_mask_flat(mask_p, bev.shape[-1]).astype(x.dtype)
 
+        q = self.int8
         # conv1: two residual blocks at stride 1, packed
-        x = S2DBasicBlock(32, self.dtype, name="conv1_0")(x, mask_p, train)
-        x1p = S2DBasicBlock(32, self.dtype, name="conv1_1")(x, mask_p, train)
+        x = S2DBasicBlock(32, self.dtype, int8=q, name="conv1_0")(x, mask_p, train)
+        x1p = S2DBasicBlock(32, self.dtype, int8=q, name="conv1_1")(x, mask_p, train)
 
         if self.pack_stage2:
             # conv2: packed->packed down + 2 packed blocks at (360², 256)
-            x, mask2, mask2_p = S2DDownBlockPacked(32, 64, self.dtype, name="conv2_down")(
+            x, mask2, mask2_p = S2DDownBlockPacked(32, 64, self.dtype, int8=q, name="conv2_down")(
                 x1p, mask, train
             )
-            x = S2DBasicBlock(64, self.dtype, name="conv2_0")(x, mask2_p, train)
-            x2p = S2DBasicBlock(64, self.dtype, name="conv2_1")(x, mask2_p, train)
+            x = S2DBasicBlock(64, self.dtype, int8=q, name="conv2_0")(x, mask2_p, train)
+            x2p = S2DBasicBlock(64, self.dtype, int8=q, name="conv2_1")(x, mask2_p, train)
             x2 = None
             # conv3_down consumes the packed stage-2 grid (2×2 packed kernel)
-            x, mask3 = S2DDownBlock(64, 128, self.dtype, name="conv3_down")(x2p, mask2, train)
+            x, mask3 = S2DDownBlock(64, 128, self.dtype, int8=q, name="conv3_down")(x2p, mask2, train)
         else:
             # conv2: packed down + 2 dense-grid blocks at 720²
-            x, mask2 = S2DDownBlock(32, 64, self.dtype, name="conv2_down")(x1p, mask, train)
-            x = SparseBasicBlock(64, self.dtype, name="conv2_0")(x, mask2, train)
-            x2 = SparseBasicBlock(64, self.dtype, name="conv2_1")(x, mask2, train)
+            x, mask2 = S2DDownBlock(32, 64, self.dtype, int8=q, name="conv2_down")(x1p, mask, train)
+            x = SparseBasicBlock(64, self.dtype, int8=q, name="conv2_0")(x, mask2, train)
+            x2 = SparseBasicBlock(64, self.dtype, int8=q, name="conv2_1")(x, mask2, train)
             x2p = None
 
             # conv3
-            x, mask3 = SparseDownBlock(128, self.dtype, name="conv3_down")(x2, mask2, train)
-        x = SparseBasicBlock(128, self.dtype, name="conv3_0")(x, mask3, train)
-        x3 = SparseBasicBlock(128, self.dtype, name="conv3_1")(x, mask3, train)
+            x, mask3 = SparseDownBlock(128, self.dtype, int8=q, name="conv3_down")(x2, mask2, train)
+        x = SparseBasicBlock(128, self.dtype, int8=q, name="conv3_0")(x, mask3, train)
+        x3 = SparseBasicBlock(128, self.dtype, int8=q, name="conv3_1")(x, mask3, train)
 
         # conv4
-        x, mask4 = SparseDownBlock(256, self.dtype, name="conv4_down")(x3, mask3, train)
-        x = SparseBasicBlock(256, self.dtype, name="conv4_0")(x, mask4, train)
-        x4 = SparseBasicBlock(256, self.dtype, name="conv4_1")(x, mask4, train)
+        x, mask4 = SparseDownBlock(256, self.dtype, int8=q, name="conv4_down")(x3, mask3, train)
+        x = SparseBasicBlock(256, self.dtype, int8=q, name="conv4_0")(x, mask4, train)
+        x4 = SparseBasicBlock(256, self.dtype, int8=q, name="conv4_1")(x, mask4, train)
 
         # conv5: dense stride-2 stage
-        x = Conv2dTorch(256, 3, 2, 1, use_bias=False, dtype=self.dtype, name="conv5_down_conv")(x4)
+        x = Conv2dTorch(256, 3, 2, 1, use_bias=False, dtype=self.dtype, int8=q, name="conv5_down_conv")(x4)
         x = BatchNormTorch(BN_EPS_BACKBONE, BN_MOM_BACKBONE, dtype=self.dtype, name="conv5_down_bn")(x, train)
         x = nn.relu(x)
-        x = DenseBasicBlock(256, self.dtype, name="conv5_0")(x, train)
-        x5 = DenseBasicBlock(256, self.dtype, name="conv5_1")(x, train)
+        x = DenseBasicBlock(256, self.dtype, int8=q, name="conv5_0")(x, train)
+        x5 = DenseBasicBlock(256, self.dtype, int8=q, name="conv5_1")(x, train)
 
         out = {
             "x_conv3": x3, "x_conv4": x4, "x_conv5": x5,

@@ -66,11 +66,12 @@ class SparseDownBlock(nn.Module):
 
     features: int
     dtype: Any = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, mask, train):
         new_mask = max_pool_mask(mask, 3, 2, 1)
-        y = Conv2dTorch(self.features, 3, 2, 1, use_bias=False, dtype=self.dtype, name="conv")(x)
+        y = Conv2dTorch(self.features, 3, 2, 1, use_bias=False, dtype=self.dtype, int8=self.int8, name="conv")(x)
         y = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn")(
             y, new_mask, train
         )
@@ -87,16 +88,17 @@ class SparseBasicBlock(nn.Module):
 
     features: int
     dtype: Any = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, mask, train):
         m = mask[..., None].astype(x.dtype)
-        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, name="conv1")(x)
+        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv1")(x)
         y = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn1")(
             y, mask, train
         )
         y = nn.relu(y) * m
-        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, name="conv2")(y)
+        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv2")(y)
         y = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn2")(
             y, mask, train
         )
@@ -108,13 +110,14 @@ class DenseBasicBlock(nn.Module):
 
     features: int
     dtype: Any = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, train):
-        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, name="conv1")(x)
+        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv1")(x)
         y = BatchNormTorch(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn1")(y, train)
         y = nn.relu(y)
-        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, name="conv2")(y)
+        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv2")(y)
         y = BatchNormTorch(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn2")(y, train)
         return nn.relu(y + x)
 
@@ -171,37 +174,39 @@ class PillarRes18BackBone8x(nn.Module):
 
     dtype: Any = None
     channels = (32, 64, 128, 256, 256)
+    int8: bool = False   # frozen-teacher int8 conv path (layers.int8_conv)
 
     @nn.compact
     def __call__(self, bev, mask, train: bool) -> Dict[str, jnp.ndarray]:
+        q = self.int8
         x = bev * mask[..., None].astype(bev.dtype)
 
         # conv1: two residual blocks at stride 1
-        x = SparseBasicBlock(32, self.dtype, name="conv1_0")(x, mask, train)
-        x1 = SparseBasicBlock(32, self.dtype, name="conv1_1")(x, mask, train)
+        x = SparseBasicBlock(32, self.dtype, int8=q, name="conv1_0")(x, mask, train)
+        x1 = SparseBasicBlock(32, self.dtype, int8=q, name="conv1_1")(x, mask, train)
 
         # conv2: down + 2 blocks
-        x, mask2 = SparseDownBlock(64, self.dtype, name="conv2_down")(x1, mask, train)
-        x = SparseBasicBlock(64, self.dtype, name="conv2_0")(x, mask2, train)
-        x2 = SparseBasicBlock(64, self.dtype, name="conv2_1")(x, mask2, train)
+        x, mask2 = SparseDownBlock(64, self.dtype, int8=q, name="conv2_down")(x1, mask, train)
+        x = SparseBasicBlock(64, self.dtype, int8=q, name="conv2_0")(x, mask2, train)
+        x2 = SparseBasicBlock(64, self.dtype, int8=q, name="conv2_1")(x, mask2, train)
 
         # conv3
-        x, mask3 = SparseDownBlock(128, self.dtype, name="conv3_down")(x2, mask2, train)
-        x = SparseBasicBlock(128, self.dtype, name="conv3_0")(x, mask3, train)
-        x3 = SparseBasicBlock(128, self.dtype, name="conv3_1")(x, mask3, train)
+        x, mask3 = SparseDownBlock(128, self.dtype, int8=q, name="conv3_down")(x2, mask2, train)
+        x = SparseBasicBlock(128, self.dtype, int8=q, name="conv3_0")(x, mask3, train)
+        x3 = SparseBasicBlock(128, self.dtype, int8=q, name="conv3_1")(x, mask3, train)
 
         # conv4
-        x, mask4 = SparseDownBlock(256, self.dtype, name="conv4_down")(x3, mask3, train)
-        x = SparseBasicBlock(256, self.dtype, name="conv4_0")(x, mask4, train)
-        x4 = SparseBasicBlock(256, self.dtype, name="conv4_1")(x, mask4, train)
+        x, mask4 = SparseDownBlock(256, self.dtype, int8=q, name="conv4_down")(x3, mask3, train)
+        x = SparseBasicBlock(256, self.dtype, int8=q, name="conv4_0")(x, mask4, train)
+        x4 = SparseBasicBlock(256, self.dtype, int8=q, name="conv4_1")(x, mask4, train)
         # `.dense()` (spconv_backbone_2d.py:299) is the identity here.
 
         # conv5: dense stride-2 stage
-        x = Conv2dTorch(256, 3, 2, 1, use_bias=False, dtype=self.dtype, name="conv5_down_conv")(x4)
+        x = Conv2dTorch(256, 3, 2, 1, use_bias=False, dtype=self.dtype, int8=q, name="conv5_down_conv")(x4)
         x = BatchNormTorch(BN_EPS_BACKBONE, BN_MOM_BACKBONE, dtype=self.dtype, name="conv5_down_bn")(x, train)
         x = nn.relu(x)
-        x = DenseBasicBlock(256, self.dtype, name="conv5_0")(x, train)
-        x5 = DenseBasicBlock(256, self.dtype, name="conv5_1")(x, train)
+        x = DenseBasicBlock(256, self.dtype, int8=q, name="conv5_0")(x, train)
+        x5 = DenseBasicBlock(256, self.dtype, int8=q, name="conv5_1")(x, train)
 
         return {
             "x_conv1": x1,

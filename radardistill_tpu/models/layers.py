@@ -50,6 +50,51 @@ def conv_kernel_init_torch(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def int8_conv(x, kernel, stride, padding, bias=None, out_dtype=None):
+    """Dynamic symmetric int8 quantized NHWC conv (frozen-teacher path).
+
+    Per-tensor activation scale (max|x|/127), per-output-channel weight
+    scales; int8 x int8 accumulated in int32 on the MXU — 2x the bf16 peak
+    on v5e (measured tools/int8_bench.py: 1.75-1.86x at the teacher's
+    stage-1/2 shapes). Dequantizes into f32 and applies the bias there.
+    NOT differentiable (round) — callers are stop_gradient'ed teacher
+    scopes (pillarnet.py:17-33 freeze semantics). VERDICT r2 next #2.
+    """
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+    xq = jnp.round(xf / sx).astype(jnp.int8)
+    kf = kernel.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
+    kq = jnp.round(kf / sw).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, kq, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (sx * sw)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype or x.dtype)
+
+
+class _ConvParams(nn.Module):
+    """Raw conv params under the same scope/names nn.Conv would create
+    ('<name>/kernel', '<name>/bias') so int8 and float paths share one
+    checkpoint layout."""
+
+    shape: tuple
+    features: int
+    use_bias: bool
+    kernel_init: Callable = conv_kernel_init_torch
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.shape)
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return k, b
+
+
 class Conv2dTorch(nn.Module):
     """NHWC conv with torch-style explicit padding. Kernel layout HWIO."""
 
@@ -61,10 +106,19 @@ class Conv2dTorch(nn.Module):
     groups: int = 1
     kernel_init: Callable = conv_kernel_init_torch
     dtype: Dtype | None = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
         k, p = self.kernel_size, self.padding
+        if self.int8:
+            assert self.groups == 1, "int8 path assumes groups=1"
+            kern, bias = _ConvParams(
+                (k, k, x.shape[-1], self.features), self.features,
+                self.use_bias, self.kernel_init, name="conv")()
+            return int8_conv(
+                x, kern, self.stride, ((p, p), (p, p)), bias,
+                out_dtype=self.dtype or x.dtype)
         return nn.Conv(
             self.features,
             (k, k),

@@ -1,0 +1,71 @@
+"""Int8 frozen-teacher conv path (VERDICT r2 next #2).
+
+The teacher backbone is forward-only (stop_gradient + eval-BN,
+pillarnet.py:17-33), so its convs can run as dynamic symmetric int8 —
+per-tensor activation scales, per-output-channel weight scales, int32 MXU
+accumulation (2x bf16 peak on v5e; measured tools/int8_bench.py).
+
+Quality bound asserted here: whole-backbone relative feature error vs the
+f32 path on the SAME params stays small (measured ~2.5% at every scale).
+The speed claim is measured on hardware (PERF.md r3 int8 section).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radardistill_tpu.models.backbone_s2d import PillarRes18BackBone8xS2D
+from radardistill_tpu.models.backbone_sparse2d import PillarRes18BackBone8x
+
+
+def _inputs(seed=0, grid=96):
+    rng = np.random.RandomState(seed)
+    mask = (rng.rand(1, grid, grid) < 0.15).astype(np.float32)
+    bev = rng.randn(1, grid, grid, 32).astype(np.float32) * mask[..., None]
+    return jnp.asarray(bev), jnp.asarray(mask)
+
+
+def test_int8_s2d_close_to_f32():
+    bev, mask = _inputs()
+    m_f = PillarRes18BackBone8xS2D(dtype=jnp.float32)
+    m_q = PillarRes18BackBone8xS2D(dtype=jnp.float32, int8=True)
+    v = m_f.init(jax.random.PRNGKey(0), bev, mask, False)
+    # identical param tree: the int8 path must consume the same checkpoint
+    assert jax.tree.structure(m_q.init(
+        jax.random.PRNGKey(0), bev, mask, False)) == jax.tree.structure(v)
+    of = m_f.apply(v, bev, mask, False)
+    oq = m_q.apply(v, bev, mask, False)
+    for k in ("x_conv3", "x_conv4", "x_conv5"):
+        a = np.asarray(of[k], np.float32)
+        b = np.asarray(oq[k], np.float32)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+        assert 0 < rel < 0.06, (k, rel)  # quantized AND close
+
+
+def test_int8_dense_close_to_f32():
+    bev, mask = _inputs(seed=1)
+    m_f = PillarRes18BackBone8x(dtype=jnp.float32)
+    m_q = PillarRes18BackBone8x(dtype=jnp.float32, int8=True)
+    v = m_f.init(jax.random.PRNGKey(0), bev, mask, False)
+    of = m_f.apply(v, bev, mask, False)
+    oq = m_q.apply(v, bev, mask, False)
+    for k in ("x_conv4", "x_conv5"):
+        a = np.asarray(of[k], np.float32)
+        b = np.asarray(oq[k], np.float32)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+        assert 0 < rel < 0.06, (k, rel)
+
+
+def test_int8_s2d_matches_dense_int8_tree():
+    """S2D-int8 and dense-int8 share the checkpoint layout (both must keep
+    the plain PillarRes18BackBone8x tree — the interop invariant)."""
+    bev, mask = _inputs(seed=2)
+    v_d = PillarRes18BackBone8x(dtype=jnp.float32, int8=True).init(
+        jax.random.PRNGKey(0), bev, mask, False)
+    v_s = PillarRes18BackBone8xS2D(dtype=jnp.float32, int8=True).init(
+        jax.random.PRNGKey(0), bev, mask, False)
+    flat_d = {jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_flatten_with_path(v_d["params"])[0]}
+    flat_s = {jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_flatten_with_path(v_s["params"])[0]}
+    assert flat_d == flat_s
