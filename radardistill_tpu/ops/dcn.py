@@ -109,9 +109,10 @@ def modulated_deform_conv(
     kernel_size: int = 3,
 ) -> jnp.ndarray:
     """DCNv2 dispatcher: Pallas MXU kernels on TPU (fwd + full custom bwd,
-    offsets clamped to ±8 cells — ops/pallas_dcn.py), XLA sorted-domain
-    gather formulation elsewhere / for unsupported shapes. DCN_PALLAS=0
-    disables the kernel path for A/B measurement."""
+    offsets clamped to ±5 cells — ops/pallas_dcn.py, where R also sets the
+    kernels' window/FLOP cost), XLA sorted-domain gather formulation
+    elsewhere / for unsupported shapes. DCN_PALLAS=0 disables the kernel
+    path for A/B measurement."""
     import os
 
     from .pallas_dcn import modulated_deform_conv_mxu, shapes_supported

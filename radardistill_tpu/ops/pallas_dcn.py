@@ -16,9 +16,10 @@ regardless of layout; these kernels remove ALL per-row machinery:
   - K1 `dcn_sample`: corner weights folded with the modulation mask →
     sampled taps (B, Ho, 9, Wo, C). The conv contraction with the (9,Ci,Co)
     weight stays in XLA (fuses, provides dW via plain matmul transpose).
-  - K2 `dcn_sample_derivs`: same geometry, corner weights replaced by
-    ∂wt/∂Δh and ∂wt/∂Δw (UNMASKED) → s_h, s_w used for offset grads:
-    dΔ[p] = mask·⟨dsampled[p], s_·[p]⟩ (elementwise in XLA).
+  - K2 `dcn_offset_grad`: per tap, P = dsm @ patchᵀ ONCE (one MXU matmul),
+    then the ∂wt/∂Δh and ∂wt/∂Δw one-hot matrices reduce elementwise
+    against P → dΔ directly as (B, Ho, 18, Wo). Half the MXU work of
+    materializing unmasked derivative samples, none of their HBM traffic.
   - K3 `dcn_input_grad`: the transpose. Each 8×WB input-cell block receives
     only from a bounded (24, 40) window of output sites per tap, DMA'd at
     dynamic offsets; dX_block += Mᵀ-style (cells, samples)x(samples, C)
@@ -27,10 +28,13 @@ regardless of layout; these kernels remove ALL per-row machinery:
     dmask[p] = ⟨dsampled[p], sampled[p]⟩ / max(mask, 1e-6).
 
 TPU-native design decision: offsets are clamped to ±R cells
-(R = max_offset, default 8) so every sample stays inside the DMA'd window.
-The reference CUDA kernel (modulated_deform_im2col_cuda.cuh) allows
-unbounded offsets; |Δ| ≤ 8 cells at the 8×-stride BEV (0.6 m/cell ⇒
-±4.8 m of deformation) is far beyond what the CMA downsample needs, the
+(R = max_offset, default 5) so every sample stays inside the DMA'd window —
+and the window SIZE sets the kernels' MXU cost (the one-hot matmuls
+contract over patch_rows(R)·W cells), so R is a speed knob: R=8 windows
+cost 1.5x R=5. The reference CUDA kernel
+(modulated_deform_im2col_cuda.cuh) allows unbounded offsets; |Δ| ≤ 5 cells
+at the 8×-stride BEV (0.6 m/cell ⇒ ±3 m of deformation) is far beyond
+what the CMA downsample needs, the
 clamp gradient is the standard clip pass-through, and the clamp rate can
 be monitored cheaply outside (see dcn.py wrapper). Exactness inside the
 clamp region is tested vs the reference formulation in
@@ -51,8 +55,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PATCH_ROWS = 24          # K1/K2 input-row window (covers 2R+5 rows, R <= 9)
-GRAD_ROWS = 24           # K3 output-row window
+def _round8(n):
+    return -(-n // 8) * 8
+
+
+def patch_rows(r):
+    """K1/K2 input-row window: covers the 2R+6 rows a clamped tap can touch
+    (8-aligned for the DMA). R=5 -> 16 rows, R=8 -> 24. The one-hot window
+    matmuls cost FLOPs proportional to this window, so production runs at
+    R=5 (±3 m at the stride-8 BEV) — see dcn.py dispatcher."""
+    return _round8(2 * r + 6)
+
+
+def grad_rows(r):
+    """K3 output-row window: output rows feeding a GRAD_IR-row input block
+    span (GRAD_IR + 2R + 6)/stride + 1 = R + 9 rows (stride 2, GRAD_IR 10).
+    R=5 -> 16, R=8 -> 24."""
+    return _round8(r + 9)
+
+
 GRAD_IR = 10             # K3 input-row block (divides both CMA heights 180/90)
 
 # Mosaic's default scoped-VMEM limit is 16 MB; K2's two derivative modes
@@ -126,130 +147,158 @@ def _build_m(ph, pw, r0, w_valid, w_stride, n_cells_rows, mode, extra=None,
 
 
 def _sample_kernel(offs_ref, mask_ref, x_hbm, out_ref, patch, sem,
-                   *, stride, pad, r, H, W, W8, modes):
+                   *, stride, pad, r, H, W, W8, rows):
     b = pl.program_id(0)
     i = pl.program_id(1)
-    r0 = jnp.clip(i * stride - pad - r - 1, 0, H - PATCH_ROWS)
+    r0 = jnp.clip(i * stride - pad - r - 1, 0, H - rows)
     pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(r0, PATCH_ROWS)], patch, sem
+        x_hbm.at[b, pl.ds(r0, rows)], patch, sem
     ).start()
     offs = offs_ref[0, 0]          # (Wo, 18) f32
     pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(r0, PATCH_ROWS)], patch, sem
+        x_hbm.at[b, pl.ds(r0, rows)], patch, sem
     ).wait()
-    pf = patch[:].reshape(PATCH_ROWS * W8, x_hbm.shape[-1])
+    pf = patch[:].reshape(rows * W8, x_hbm.shape[-1])
     for k in range(9):
         ph, pw = _tap_geometry(i, offs, k, stride, pad, r, W)
-        for vi, mode in enumerate(modes):
-            extra = mask_ref[0, 0][:, k] if (mode == "w" and mask_ref is not None) else None
-            m = _build_m(ph, pw, r0, W, W8, PATCH_ROWS, mode, extra,
-                         dtype=pf.dtype)
-            res = jnp.dot(
-                m, pf, preferred_element_type=jnp.float32
-            ).astype(out_ref.dtype)
-            if len(modes) == 1:
-                out_ref[0, 0, k] = res
-            else:
-                out_ref[0, 0, vi, k] = res
+        extra = mask_ref[0, 0][:, k] if mask_ref is not None else None
+        m = _build_m(ph, pw, r0, W, W8, rows, "w", extra, dtype=pf.dtype)
+        out_ref[0, 0, k] = jnp.dot(
+            m, pf, preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
 
 
-def _sample_call(x, offset18, mask9, *, stride, pad, r, modes, interpret):
+def dcn_sample(x, offset18, mask9, *, stride=2, padding=1, max_offset=5,
+               interpret=False):
+    """K1: masked bilinear tap sampling. Returns (B, Ho, 9, Wo, C)."""
     B, H, W, C = x.shape
     W8 = -(-W // 8) * 8  # Mosaic DMA slices need 8-aligned sublane extents
     if W8 != W:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, W8 - W), (0, 0)))
     Ho, Wo = offset18.shape[1], offset18.shape[2]
-    nv = len(modes)
-    out_shape = (
-        jax.ShapeDtypeStruct((B, Ho, 9, Wo, C), x.dtype)
-        if nv == 1
-        else jax.ShapeDtypeStruct((B, Ho, nv, 9, Wo, C), x.dtype)
-    )
-    in_specs = [
-        pl.BlockSpec((1, 1, Wo, 18), lambda b, i: (b, i, 0, 0)),
-    ]
-    operands = [offset18]
-    if mask9 is not None:
-        in_specs.append(pl.BlockSpec((1, 1, Wo, 9), lambda b, i: (b, i, 0, 0)))
-        operands.append(mask9)
-    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-    operands.append(x)
-    out_spec = (
-        pl.BlockSpec((1, 1, 9, Wo, C), lambda b, i: (b, i, 0, 0, 0))
-        if nv == 1
-        else pl.BlockSpec((1, 1, nv, 9, Wo, C), lambda b, i: (b, i, 0, 0, 0, 0))
-    )
+    rows = patch_rows(max_offset)
 
-    def kernel(*refs):
-        if mask9 is not None:
-            offs_ref, mask_ref, x_hbm, out_ref, patch, sem = refs
-        else:
-            offs_ref, x_hbm, out_ref, patch, sem = refs
-            mask_ref = None
+    def kernel(offs_ref, mask_ref, x_hbm, out_ref, patch, sem):
         _sample_kernel(offs_ref, mask_ref, x_hbm, out_ref, patch, sem,
-                       stride=stride, pad=pad, r=r, H=H, W=W, W8=W8,
-                       modes=modes)
+                       stride=stride, pad=padding, r=max_offset, H=H, W=W,
+                       W8=W8, rows=rows)
 
     return pl.pallas_call(
         kernel,
         grid=(B, Ho),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec((1, 1, Wo, 18), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, Wo, 9), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 9, Wo, C), lambda b, i: (b, i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, 9, Wo, C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((PATCH_ROWS, W8, C), x.dtype),
+            pltpu.VMEM((rows, W8, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(*operands)
+    )(offset18, mask9, x)
 
 
-def dcn_sample(x, offset18, mask9, *, stride=2, padding=1, max_offset=8,
-               interpret=False):
-    """K1: masked bilinear tap sampling. Returns (B, Ho, 9, Wo, C)."""
-    return _sample_call(x, offset18, mask9, stride=stride, pad=padding,
-                        r=max_offset, modes=("w",), interpret=interpret)
+def _offgrad_kernel(offs_ref, dsm_ref, x_hbm, out_ref, patch, sem,
+                    *, stride, pad, r, H, W, W8, rows):
+    """K2 (fused): per-tap P = dsm @ patchᵀ once, then the two derivative
+    one-hot matrices reduce ELEMENTWISE against P — halves the K2 MXU work
+    vs materializing unmasked derivative sample tensors (and removes their
+    (B,Ho,2,9,Wo,C) HBM round-trip entirely)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    r0 = jnp.clip(i * stride - pad - r - 1, 0, H - rows)
+    pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(r0, rows)], patch, sem
+    ).start()
+    offs = offs_ref[0, 0]          # (Wo, 18) f32
+    pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(r0, rows)], patch, sem
+    ).wait()
+    pf = patch[:].reshape(rows * W8, x_hbm.shape[-1])
+    for k in range(9):
+        ph, pw = _tap_geometry(i, offs, k, stride, pad, r, W)
+        dsm_k = dsm_ref[0, 0, k]   # (Wo, C)
+        p = jax.lax.dot_general(
+            dsm_k, pf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                           # (Wo, rows*W8)
+        mh = _build_m(ph, pw, r0, W, W8, rows, "dh", dtype=jnp.float32)
+        mw = _build_m(ph, pw, r0, W, W8, rows, "dw", dtype=jnp.float32)
+        out_ref[0, 0, 2 * k] = jnp.sum(mh * p, axis=1).astype(out_ref.dtype)
+        out_ref[0, 0, 2 * k + 1] = jnp.sum(mw * p, axis=1).astype(out_ref.dtype)
 
 
-def dcn_sample_derivs(x, offset18, *, stride=2, padding=1, max_offset=8,
-                      interpret=False):
-    """K2: UNMASKED derivative samples (s_h, s_w): (B, Ho, 2, 9, Wo, C)."""
-    return _sample_call(x, offset18, None, stride=stride, pad=padding,
-                        r=max_offset, modes=("dh", "dw"), interpret=interpret)
+def dcn_offset_grad(x, offset18, dsm, *, stride=2, padding=1, max_offset=5,
+                    interpret=False):
+    """K2: offset gradients (B, Ho, 18, Wo) f32 from the mask-folded
+    dsampled (B, Ho, 9, Wo, C); channel 2k = dΔy of tap k, 2k+1 = dΔx
+    (offset18 layout). Clamp pass-through applied by the caller."""
+    B, H, W, C = x.shape
+    W8 = -(-W // 8) * 8
+    if W8 != W:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, W8 - W), (0, 0)))
+    Ho, Wo = offset18.shape[1], offset18.shape[2]
+    rows = patch_rows(max_offset)
+
+    def kernel(offs_ref, dsm_ref, x_hbm, out_ref, patch, sem):
+        _offgrad_kernel(offs_ref, dsm_ref, x_hbm, out_ref, patch, sem,
+                        stride=stride, pad=padding, r=max_offset, H=H, W=W,
+                        W8=W8, rows=rows)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, Ho),
+        in_specs=[
+            pl.BlockSpec((1, 1, Wo, 18), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, 9, Wo, C), lambda b, i: (b, i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 18, Wo), lambda b, i: (b, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, 18, Wo), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, W8, C), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(offset18, dsm, x)
 
 
 def _grad_kernel(offs_hbm, dsm_hbm, out_ref, dsm_buf, offs_buf, acc, sem,
-                 *, stride, pad, r, H, W, W8, Ho, Wo8, C):
+                 *, stride, pad, r, H, W, W8, Ho, Wo8, C, rows):
     b = pl.program_id(0)
     j = pl.program_id(1)
     h_base = j * GRAD_IR
-    r0o = jnp.clip((h_base - r - 5) // stride, 0, Ho - GRAD_ROWS)
+    r0o = jnp.clip((h_base - r - 5) // stride, 0, Ho - rows)
     pltpu.make_async_copy(
-        offs_hbm.at[b, pl.ds(r0o, GRAD_ROWS)], offs_buf, sem,
+        offs_hbm.at[b, pl.ds(r0o, rows)], offs_buf, sem,
     ).start()
     acc[:] = jnp.zeros((GRAD_IR * W8, C), jnp.float32)
     pltpu.make_async_copy(
-        offs_hbm.at[b, pl.ds(r0o, GRAD_ROWS)], offs_buf, sem,
+        offs_hbm.at[b, pl.ds(r0o, rows)], offs_buf, sem,
     ).wait()
-    offs = offs_buf[:]  # (GRAD_ROWS, Wo8, 128) f32; cols >= Wo / lanes >= 18 are zero-pad
+    offs = offs_buf[:]  # (rows, Wo8, 128) f32; cols >= Wo / lanes >= 18 are zero-pad
     n_cells = GRAD_IR * W8
-    # M is built in SUB-row chunks of the 24-output-row window to bound
+    # M is built in SUB-row chunks of the output-row window to bound
     # VMEM; geometry stays (sub, Wo8)-shaped and only the LEADING dims are
     # merged before the dot (Mosaic rejects 2D->1D lane-eliminating casts)
-    sub = GRAD_ROWS // 6  # 4 output rows per chunk
+    sub = 4  # output rows per chunk
     n_samp = sub * Wo8
     iota3 = jax.lax.broadcasted_iota(jnp.int32, (sub, Wo8, n_cells), 2)
     wo_col = jax.lax.broadcasted_iota(jnp.int32, (sub, Wo8), 1).astype(jnp.float32)
     for k in range(9):
         ki, kj = k // 3, k % 3
         pltpu.make_async_copy(
-            dsm_hbm.at[b, pl.ds(r0o, GRAD_ROWS), k], dsm_buf, sem,
+            dsm_hbm.at[b, pl.ds(r0o, rows), k], dsm_buf, sem,
         ).start()
         pltpu.make_async_copy(
-            dsm_hbm.at[b, pl.ds(r0o, GRAD_ROWS), k], dsm_buf, sem,
+            dsm_hbm.at[b, pl.ds(r0o, rows), k], dsm_buf, sem,
         ).wait()
-        for a3 in range(GRAD_ROWS // sub):
+        for a3 in range(rows // sub):
             offs_c = offs[a3 * sub:(a3 + 1) * sub]  # (sub, Wo8, 18)
             ho = (
                 jax.lax.broadcasted_iota(jnp.int32, (sub, Wo8), 0).astype(jnp.float32)
@@ -284,7 +333,7 @@ def _grad_kernel(offs_hbm, dsm_hbm, out_ref, dsm_buf, offs_buf, acc, sem,
     out_ref[0] = acc[:].reshape(GRAD_IR, W8, C).astype(out_ref.dtype)
 
 
-def dcn_input_grad(dsm, offset18, H, W, *, stride=2, padding=1, max_offset=8,
+def dcn_input_grad(dsm, offset18, H, W, *, stride=2, padding=1, max_offset=5,
                    interpret=False):
     """K3: dX (B, H, W, C) from mask-folded dsampled (B, Ho, 9, Wo, C).
 
@@ -301,10 +350,12 @@ def dcn_input_grad(dsm, offset18, H, W, *, stride=2, padding=1, max_offset=8,
     # lane dim of a DMA'd operand must be 128-aligned (Mosaic): 18 -> 128
     offset18 = jnp.pad(offset18, ((0, 0), (0, 0), (0, 0), (0, 128 - 18)))
 
+    rows = grad_rows(max_offset)
+
     def kernel(offs_hbm, dsm_hbm, out_ref, dsm_buf, offs_buf, acc, sem):
         _grad_kernel(offs_hbm, dsm_hbm, out_ref, dsm_buf, offs_buf, acc, sem,
                      stride=stride, pad=padding, r=max_offset,
-                     H=H, W=W, W8=W8, Ho=Ho, Wo8=Wo8, C=C)
+                     H=H, W=W, W8=W8, Ho=Ho, Wo8=Wo8, C=C, rows=rows)
 
     dx = pl.pallas_call(
         kernel,
@@ -318,8 +369,8 @@ def dcn_input_grad(dsm, offset18, H, W, *, stride=2, padding=1, max_offset=8,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W8, C), dsm.dtype),
         scratch_shapes=[
-            pltpu.VMEM((GRAD_ROWS, Wo8, C), dsm.dtype),
-            pltpu.VMEM((GRAD_ROWS, Wo8, 128), jnp.float32),
+            pltpu.VMEM((rows, Wo8, C), dsm.dtype),
+            pltpu.VMEM((rows, Wo8, 128), jnp.float32),
             pltpu.VMEM((GRAD_IR * W8, C), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -330,7 +381,7 @@ def dcn_input_grad(dsm, offset18, H, W, *, stride=2, padding=1, max_offset=8,
 
 
 def shapes_supported(x_shape, offset_shape, stride, padding, kernel_size,
-                     max_offset=8):
+                     max_offset=5):
     """Static check: can the kernels handle this DCN instance?"""
     B, H, W, C = x_shape
     Ho, Wo = offset_shape[1], offset_shape[2]
@@ -339,16 +390,16 @@ def shapes_supported(x_shape, offset_shape, stride, padding, kernel_size,
         and stride == 2
         and padding == 1
         and max_offset <= 9
-        and H >= PATCH_ROWS
+        and H >= patch_rows(max_offset)
         and H % GRAD_IR == 0
-        and Ho >= GRAD_ROWS
+        and Ho >= grad_rows(max_offset)
         and C % 128 == 0
     )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def modulated_deform_conv_mxu(x, offset, mask, weight, stride=2, padding=1,
-                              max_offset=8, interpret=False):
+                              max_offset=5, interpret=False):
     """DCNv2 via the Pallas kernels; same contract as
     ops/dcn.py::modulated_deform_conv (offsets clamped to ±max_offset)."""
     y, _ = _mdcn_fwd(x, offset, mask, weight, stride, padding, max_offset,
@@ -402,21 +453,15 @@ def _mdcn_bwd(stride, padding, max_offset, interpret, res, dy):
     dmask_k = prod / jnp.maximum(mask_k, 1e-6)
     dmask = dmask_k.transpose(0, 1, 3, 2).reshape(mask.shape).astype(mask.dtype)
 
-    # doffset via unmasked derivative samples
-    derivs = dcn_sample_derivs(x, offset18, stride=stride, padding=padding,
-                               max_offset=max_offset, interpret=interpret)
-    s_h = derivs[:, :, 0]
-    s_w = derivs[:, :, 1]
+    # doffset via the fused K2 kernel (P = dsm @ patchT once per tap)
     dsm = dsampled * mask_k[..., None].astype(dsampled.dtype)
-    g_h = jnp.sum(dsm.astype(jnp.float32) * s_h.astype(jnp.float32), axis=-1)
-    g_w = jnp.sum(dsm.astype(jnp.float32) * s_w.astype(jnp.float32), axis=-1)
+    g18 = dcn_offset_grad(x, offset18, dsm, stride=stride, padding=padding,
+                          max_offset=max_offset, interpret=interpret)
     # clamp pass-through: zero gradient where |Δ| exceeded the window
-    offs_k = offset18.reshape(B, Ho, Wo, 9, 2).transpose(0, 1, 3, 2, 4)
-    in_h = (jnp.abs(offs_k[..., 0]) <= max_offset).astype(jnp.float32)
-    in_w = (jnp.abs(offs_k[..., 1]) <= max_offset).astype(jnp.float32)
-    d_off_k = jnp.stack([g_h * in_h, g_w * in_w], axis=-1)  # (B,Ho,9,Wo,2)
+    in_win = (jnp.abs(offset18) <= max_offset).astype(jnp.float32)
     doffset = (
-        d_off_k.transpose(0, 1, 3, 2, 4).reshape(offset.shape).astype(offset.dtype)
+        (g18.transpose(0, 1, 3, 2) * in_win)
+        .reshape(offset.shape).astype(offset.dtype)
     )
 
     dx = dcn_input_grad(dsm, offset18, x.shape[1], x.shape[2], stride=stride,

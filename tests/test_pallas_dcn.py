@@ -106,3 +106,30 @@ def test_shapes_supported_gate():
     assert not pdcn.shapes_supported((2, 24, 24, 256), (2, 12, 12, 18), 2, 1, 3)
     assert not pdcn.shapes_supported((2, 180, 180, 256), (2, 90, 90, 18), 1, 1, 3)
     assert not pdcn.shapes_supported((2, 180, 180, 96), (2, 90, 90, 18), 2, 1, 3)
+
+
+def test_gradients_match_reference_r5():
+    """The production operating point: R=5 windows (patch 16 / grad 16 rows)
+    — the R-derived window formulas must stay exact at the smaller size."""
+    x, offset, mask, weight = _make_case(7, C=128, off_scale=1.5)
+    offset = jnp.clip(offset, -4.9, 4.9)
+    dy = jnp.asarray(
+        np.random.RandomState(8).randn(1, 45, 45, 32).astype(np.float32))
+
+    def loss_mxu(*args):
+        return jnp.sum(pdcn.modulated_deform_conv_mxu(
+            *args, 2, 1, 5, True) * dy)
+
+    def loss_ref(*args):
+        return jnp.sum(_ref(*args) * dy)
+
+    np.testing.assert_allclose(
+        np.asarray(pdcn.modulated_deform_conv_mxu(
+            x, offset, mask, weight, 2, 1, 5, True)),
+        np.asarray(_ref(x, offset, mask, weight)), rtol=2e-5, atol=2e-5)
+    g_mxu = jax.grad(loss_mxu, argnums=(0, 1, 2, 3))(x, offset, mask, weight)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, offset, mask, weight)
+    for name, a, b in zip(("dx", "doffset", "dmask", "dweight"), g_mxu, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
+            err_msg=f"{name} mismatch")
