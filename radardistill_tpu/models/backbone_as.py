@@ -53,7 +53,8 @@ class _ConvCore(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, feats, nb, msk):
+    def __call__(self, feats, tap):
+        nb, msk, inv, imsk = tap
         ci = feats.shape[-1]
         kernel = self.param("kernel", conv_kernel_init_torch, (3, 3, ci, self.features))
         bias = (
@@ -62,24 +63,26 @@ class _ConvCore(nn.Module):
             else None
         )
         dt = self.dtype or feats.dtype
-        fn = lambda f, n, m: asx.conv3x3_as(
+        fn = lambda f, n, m, i, im: asx.conv3x3_as(
             f.astype(dt), n, m, kernel.astype(dt),
-            None if bias is None else bias, out_dtype=dt,
+            None if bias is None else bias, out_dtype=dt, inv=i, imsk=im,
         )
-        return jax.vmap(fn)(feats, nb, msk)
+        return jax.vmap(fn)(feats, nb, msk, inv, imsk)
 
 
 class ASConv(nn.Module):
-    """3x3 active-site conv (batched). nb/msk: (B, 9, cap_out)."""
+    """3x3 active-site conv (batched). tap = (nb, msk, inv, imsk), each
+    (B, 9, cap) — built once per stage by the backbone (invert_taps gives the
+    gather-formulated backward, ops/active_site.py)."""
 
     features: int
     use_bias: bool = False
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, feats, nb, msk):
+    def __call__(self, feats, tap):
         return _ConvCore(self.features, self.use_bias, self.dtype, name="conv")(
-            feats, nb, msk
+            feats, tap
         )
 
 
@@ -91,14 +94,14 @@ class SparseBasicBlockAS(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, nb, msk, valid, train):
+    def __call__(self, x, tap, valid, train):
         m = valid[..., None].astype(x.dtype)
-        y = ASConv(self.features, True, self.dtype, name="conv1")(x, nb, msk)
+        y = ASConv(self.features, True, self.dtype, name="conv1")(x, tap)
         y = MaskedBatchNorm(BN_EPS_BACKBONE, BN_MOM_BACKBONE, self.dtype, name="bn1")(
             y, valid, train
         )
         y = nn.relu(y) * m
-        y = ASConv(self.features, True, self.dtype, name="conv2")(y, nb, msk)
+        y = ASConv(self.features, True, self.dtype, name="conv2")(y, tap)
         y = MaskedBatchNorm(BN_EPS_BACKBONE, BN_MOM_BACKBONE, self.dtype, name="bn2")(
             y, valid, train
         )
@@ -113,8 +116,8 @@ class SparseDownBlockAS(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, nb, msk, new_valid, train):
-        y = ASConv(self.features, False, self.dtype, name="conv")(x, nb, msk)
+    def __call__(self, x, tap, new_valid, train):
+        y = ASConv(self.features, False, self.dtype, name="conv")(x, tap)
         y = MaskedBatchNorm(BN_EPS_BACKBONE, BN_MOM_BACKBONE, self.dtype, name="bn")(
             y, new_valid, train
         )
@@ -163,8 +166,9 @@ class PillarRes18BackBone8xAS(nn.Module):
         nb, msk = jax.vmap(
             lambda u, g: asx.conv_neighbor_table(u, g, (h, w), w, 1, cap1)
         )(uids, grid)
-        x = SparseBasicBlockAS(32, self.dtype, name="conv1_0")(x, nb, msk, valid, train)
-        x = SparseBasicBlockAS(32, self.dtype, name="conv1_1")(x, nb, msk, valid, train)
+        tap = (nb, msk) + jax.vmap(lambda n, m: asx.invert_taps(n, m, cap1))(nb, msk)
+        x = SparseBasicBlockAS(32, self.dtype, name="conv1_0")(x, tap, valid, train)
+        x = SparseBasicBlockAS(32, self.dtype, name="conv1_1")(x, tap, valid, train)
         out["as1"] = (x, uids)
 
         stage_specs = [  # (stage_idx, features, cap_idx)
@@ -189,20 +193,26 @@ class PillarRes18BackBone8xAS(nn.Module):
                         nu, g, (sh, sw), sw // 2, 2, cap_in
                     )
                 )(new_uids, grid)
+                tap_d = (nb_d, msk_d) + jax.vmap(
+                    lambda n, m: asx.invert_taps(n, m, cap_in)
+                )(nb_d, msk_d)
                 sh, sw, cap_in, uids = sh // 2, sw // 2, cap_out, new_uids
                 valid = uids < sh * sw
                 x = SparseDownBlockAS(feat_ch, self.dtype, name=f"conv{stage}_down")(
-                    x, nb_d, msk_d, valid, train
+                    x, tap_d, valid, train
                 )
                 grid = jax.vmap(lambda u: asx.site_index_grid(u, sh * sw, cap_in))(uids)
                 nb, msk = jax.vmap(
                     lambda u, g: asx.conv_neighbor_table(u, g, (sh, sw), sw, 1, cap_in)
                 )(uids, grid)
+                tap = (nb, msk) + jax.vmap(
+                    lambda n, m: asx.invert_taps(n, m, cap_in)
+                )(nb, msk)
                 x = SparseBasicBlockAS(feat_ch, self.dtype, name=f"conv{stage}_0")(
-                    x, nb, msk, valid, train
+                    x, tap, valid, train
                 )
                 x = SparseBasicBlockAS(feat_ch, self.dtype, name=f"conv{stage}_1")(
-                    x, nb, msk, valid, train
+                    x, tap, valid, train
                 )
                 out[f"as{stage}"] = (x, uids)
             else:

@@ -144,6 +144,69 @@ def gather_taps(feats: jnp.ndarray, nb: jnp.ndarray, msk: jnp.ndarray) -> jnp.nd
     return g * msk[..., None].astype(feats.dtype)
 
 
+def invert_taps(nb: jnp.ndarray, msk: jnp.ndarray, cap_in: int):
+    """Invert per-tap neighbor tables: which OUTPUT references input row r?
+
+    For a fixed tap k the valid entries of ``nb[k]`` are injective (two
+    distinct output sites cannot share the same input position at a fixed
+    kernel offset), so the transpose of the tap gather is a PERMUTATION, not
+    an accumulation — the conv backward can be 9 gathers instead of 9
+    scatter-adds (the r3 profile's ~11.5 ms/step bwd-table-scatter class).
+
+    Args:
+        nb: (9, cap_out) monotone-per-tap input rows (hole-filled).
+        msk: (9, cap_out) True where the neighbor really exists.
+        cap_in: input table capacity.
+    Returns:
+        inv: (9, cap_in) int32 output positions, hole-filled monotone per
+            tap (cummax) and clipped to [0, cap_out-1] — valid for sorted
+            gathers and for pallas_expand.gather_rows.
+        imsk: (9, cap_in) bool — True where input row r is really referenced
+            by tap k.
+    """
+    cap_out = nb.shape[1]
+    o_idx = jnp.broadcast_to(jnp.arange(cap_out, dtype=jnp.int32), nb.shape)
+    # one flat scatter-min: tap-major positions k*cap_in + nb[k] are globally
+    # non-decreasing (nb monotone per tap, nb < cap_in); masked entries write
+    # the sentinel cap_out which min() discards against any valid o
+    flat_pos = (jnp.arange(9, dtype=nb.dtype)[:, None] * cap_in + nb).reshape(-1)
+    vals = jnp.where(msk, o_idx, cap_out).reshape(-1)
+    tgt = jnp.full((9 * cap_in,), cap_out, jnp.int32).at[flat_pos].min(
+        vals, mode="drop", indices_are_sorted=True
+    )
+    tgt = tgt.reshape(9, cap_in)
+    imsk = tgt < cap_out
+    inv_ff = jax.lax.cummax(jnp.where(imsk, tgt, -1), axis=1)
+    return jnp.clip(inv_ff, 0, cap_out - 1), imsk
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def gather_taps_inv(feats, nb, msk, inv, imsk):
+    """:func:`gather_taps` with a gather-formulated backward.
+
+    The autodiff VJP of the tap gather is a scatter-add of (9, cap_out, C)
+    rows into (cap_in, C) — measured at 10-46 GB/s (r3 attribution). Because
+    each tap is injective (see :func:`invert_taps`) the transpose is exactly
+    ``sum_k grad[k, inv[k]] * imsk[k]`` — row gathers, which fuse.
+    """
+    return gather_taps(feats, nb, msk)
+
+
+def _gather_taps_inv_fwd(feats, nb, msk, inv, imsk):
+    return gather_taps(feats, nb, msk), (inv, imsk, jnp.zeros((0,), feats.dtype))
+
+
+def _gather_taps_inv_bwd(res, grad):
+    inv, imsk, proto = res
+    # grad: (9, cap_out, C). Per tap: permutation-gather at the inverse map.
+    g = jnp.take_along_axis(grad, inv[..., None], axis=1)  # (9, cap_in, C)
+    g = jnp.sum(g * imsk[..., None].astype(grad.dtype), axis=0)
+    return g.astype(proto.dtype), None, None, None, None
+
+
+gather_taps_inv.defvjp(_gather_taps_inv_fwd, _gather_taps_inv_bwd)
+
+
 def conv3x3_as(
     feats: jnp.ndarray,
     nb: jnp.ndarray,
@@ -151,15 +214,24 @@ def conv3x3_as(
     kernel: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     out_dtype=None,
+    inv: jnp.ndarray | None = None,
+    imsk: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """3x3 conv on active sites: 9 sorted row-gathers + one MXU einsum.
 
     kernel: (3, 3, Ci, Co) HWIO — identical layout/params to the dense
     formulation's nn.Conv, so the two backbones share checkpoints.
+
+    With ``inv``/``imsk`` (from :func:`invert_taps`) the feature gradient is
+    computed by inverse-map gathers instead of scatter-adds (bit-identical:
+    the per-tap transpose is a permutation).
     """
     out_dtype = out_dtype or feats.dtype
     ci, co = kernel.shape[2], kernel.shape[3]
-    g = gather_taps(feats, nb, msk)  # (9, n, Ci)
+    if inv is not None:
+        g = gather_taps_inv(feats, nb, msk, inv, imsk)  # (9, n, Ci)
+    else:
+        g = gather_taps(feats, nb, msk)
     k = kernel.reshape(9, ci, co).astype(g.dtype)
     y = jnp.einsum("knc,kcd->nd", g, k, preferred_element_type=jnp.float32)
     if bias is not None:

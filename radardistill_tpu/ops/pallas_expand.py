@@ -111,3 +111,113 @@ def expand_rows(table, inv):
     rows = table.at[safe].get(mode="clip")
     ok = (inv >= 0) & (inv < cap)
     return rows * ok[:, None].astype(table.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Generalized windowed gather: ``expand_sorted_rows`` with a caller-chosen
+# window size. Used for the active-site conv tap gathers (fwd) and their
+# transposed scatter-adds (bwd, via per-tap inverse maps) — the AS backbone's
+# per-row gather/scatter wall (PERF.md r3 attribution: ~11.5 ms/step of
+# bwd table scatters at 10-46 GB/s, plus the fwd gathers inside the einsum
+# class). Tap neighbor tables are monotone per (sample, tap) segment but can
+# jump by a full grid row between consecutive sites, so the 2-block window
+# of ``expand_sorted_rows`` is not enough; the span is still bounded by grid
+# geometry (ops/active_site.py tap_windows derives the bound), so the caller
+# passes a static ``n_win``.
+# ---------------------------------------------------------------------------
+
+
+def _gather_win_kernel(n_win, starts_ref, idx_ref, *refs):
+    tabs, out_ref = refs[:-1], refs[-1]
+    i = pl.program_id(0)
+    base = starts_ref[i] * BLK
+    rel = idx_ref[:] - base                       # (BLK, 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+    acc = jnp.zeros((BLK, out_ref.shape[-1]), jnp.float32)
+    for j in range(n_win):
+        onehot = ((rel - j * BLK) == iota).astype(tabs[j].dtype)
+        acc += jnp.dot(onehot, tabs[j][:], preferred_element_type=jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_win", "interpret"))
+def gather_rows_windowed(table, idx, n_win, interpret=False):
+    """rows (M, C) = table[idx] for idx MONOTONE (among active entries) per
+    aligned BLK block, with active spans bounded by (n_win - 1) * BLK.
+
+    Args:
+        table: (R, C) rows.
+        idx: (M,) int32, M % BLK == 0. Entries outside [0, R) (negative
+            sentinels, sample-segment padding) produce exact zero rows.
+        n_win: static window size in BLK blocks; for every aligned block of
+            BLK entries, max(active idx) - min(active idx) must be
+            < (n_win - 1) * BLK (floor-alignment of the start eats the rest).
+            Violations produce silently wrong (zero) rows — callers derive
+            n_win from grid geometry (active_site.tap_windows) and monitor
+            with :func:`window_overflow`.
+    """
+    m, = idx.shape
+    r, c = table.shape
+    assert m % BLK == 0, m
+    n_blocks = m // BLK
+    r_pad = (-r) % BLK
+    if r + r_pad < (n_win + 1) * BLK:  # starts + n_win - 1 must be valid blocks
+        r_pad = (n_win + 1) * BLK - r
+    if r_pad:
+        table = jnp.concatenate(
+            [table, jnp.zeros((r_pad, c), table.dtype)], axis=0
+        )
+    r_full = table.shape[0]
+
+    idx_b = idx.reshape(n_blocks, BLK)
+    active = (idx_b >= 0) & (idx_b < r)
+    row_min = jnp.min(jnp.where(active, idx_b, r_full), axis=1)
+    starts = jnp.clip(row_min // BLK, 0, r_full // BLK - n_win).astype(jnp.int32)
+    idx_col = idx.reshape(m, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((BLK, 1), lambda i, s: (i, 0))]
+        + [
+            pl.BlockSpec((BLK, c), lambda i, s, j=j: (s[i] + j, 0))
+            for j in range(n_win)
+        ],
+        out_specs=pl.BlockSpec((BLK, c), lambda i, s: (i, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_win_kernel, n_win),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, c), table.dtype),
+        interpret=interpret,
+    )(starts, idx_col, *([table] * n_win))
+
+
+def gather_rows(table, idx, n_win):
+    """Dispatcher: Pallas windowed gather on TPU, reference take elsewhere."""
+    platform = jax.devices()[0].platform
+    if platform == "tpu":
+        return gather_rows_windowed(table, idx, n_win)
+    cap = table.shape[0]
+    rows = table.at[jnp.clip(idx, 0, cap - 1)].get(mode="clip")
+    ok = (idx >= 0) & (idx < cap)
+    return rows * ok[:, None].astype(table.dtype)
+
+
+def window_overflow(idx, r, n_win):
+    """Count of active entries falling outside their block's window — the
+    monitoring counterpart of ``gather_rows_windowed``'s span precondition
+    (summed into the backbone's ``as_overflow`` counter; nonzero means
+    tap_windows' bound was violated and results are wrong). Mirrors the
+    kernel's padding + start computation exactly."""
+    m, = idx.shape
+    r_pad = (-r) % BLK
+    if r + r_pad < (n_win + 1) * BLK:
+        r_pad = (n_win + 1) * BLK - r
+    r_full = r + r_pad
+    idx_b = idx.reshape(m // BLK, BLK)
+    active = (idx_b >= 0) & (idx_b < r)
+    row_min = jnp.min(jnp.where(active, idx_b, r_full), axis=1)
+    start = jnp.clip(row_min // BLK, 0, r_full // BLK - n_win)
+    out = active & (idx_b - start[:, None] * BLK >= n_win * BLK)
+    return jnp.sum(out.astype(jnp.int32))

@@ -238,3 +238,79 @@ def test_densify_batch_matches_vmapped():
     g1 = jax.grad(lambda f: jnp.sum(batp(f) * cot_p))(feats)
     g2 = jax.grad(lambda f: jnp.sum(refp(f) * cot_p))(feats)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Inverse tap maps: gather-formulated conv backward (r3 perf item)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_invert_taps_consistency(stride):
+    rng = np.random.RandomState(7)
+    h = w = 24
+    cap_in, cap_out = 96, 96
+    ids, _ = _random_active(rng, h, w, 61)
+    uids = np.full(cap_in, h * w, np.int32)
+    uids[: len(ids)] = ids
+    grid = asx.site_index_grid(jnp.asarray(uids), h * w, cap_in)
+    if stride == 1:
+        out_uids = jnp.asarray(uids)
+    else:
+        out_uids, _ = asx.downsample_active(jnp.asarray(uids), (h, w), cap_out)
+    nb, msk = asx.conv_neighbor_table(
+        out_uids, grid, (h, w), w // stride, stride, cap_in
+    )
+    inv, imsk = asx.invert_taps(nb, msk, cap_in)
+    nb_n, msk_n = np.asarray(nb), np.asarray(msk)
+    inv_n, imsk_n = np.asarray(inv), np.asarray(imsk)
+    for k in range(9):
+        # ground truth inverse from the forward table
+        ref = {}
+        for o in range(nb_n.shape[1]):
+            if msk_n[k, o]:
+                r = nb_n[k, o]
+                assert r not in ref, "tap not injective?!"
+                ref[r] = o
+        for r in range(cap_in):
+            if r in ref:
+                assert imsk_n[k, r], (k, r)
+                assert inv_n[k, r] == ref[r]
+            else:
+                assert not imsk_n[k, r], (k, r)
+        # hole-filled inverse stays monotone (sorted-gather safe)
+        assert (np.diff(inv_n[k]) >= 0).all()
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_conv3x3_inv_grad_matches_autodiff(stride):
+    """The custom gather-formulated VJP must equal the autodiff scatter-add."""
+    rng = np.random.RandomState(11)
+    h = w = 24
+    cap_in, cap_out = 96, 96
+    ids, _ = _random_active(rng, h, w, 57)
+    uids = np.full(cap_in, h * w, np.int32)
+    uids[: len(ids)] = ids
+    feats = jnp.asarray(rng.randn(cap_in, 8).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1)
+    grid = asx.site_index_grid(jnp.asarray(uids), h * w, cap_in)
+    if stride == 1:
+        out_uids = jnp.asarray(uids)
+    else:
+        out_uids, _ = asx.downsample_active(jnp.asarray(uids), (h, w), cap_out)
+    nb, msk = asx.conv_neighbor_table(
+        out_uids, grid, (h, w), w // stride, stride, cap_in
+    )
+    inv, imsk = asx.invert_taps(nb, msk, cap_in)
+    cot = jnp.asarray(rng.randn(cap_out, 16).astype(np.float32))
+
+    def loss_ref(f):
+        return jnp.vdot(asx.conv3x3_as(f, nb, msk, kernel), cot)
+
+    def loss_inv(f):
+        return jnp.vdot(asx.conv3x3_as(f, nb, msk, kernel, inv=inv, imsk=imsk), cot)
+
+    y_ref, g_ref = jax.value_and_grad(loss_ref)(feats)
+    y_inv, g_inv = jax.value_and_grad(loss_inv)(feats)
+    np.testing.assert_allclose(float(y_ref), float(y_inv), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_inv), rtol=1e-5, atol=1e-6)
