@@ -54,7 +54,6 @@ class _ConvCore(nn.Module):
 
     @nn.compact
     def __call__(self, feats, tap):
-        nb, msk, inv, imsk = tap
         ci = feats.shape[-1]
         kernel = self.param("kernel", conv_kernel_init_torch, (3, 3, ci, self.features))
         bias = (
@@ -63,11 +62,10 @@ class _ConvCore(nn.Module):
             else None
         )
         dt = self.dtype or feats.dtype
-        fn = lambda f, n, m, i, im: asx.conv3x3_as(
-            f.astype(dt), n, m, kernel.astype(dt),
-            None if bias is None else bias, out_dtype=dt, inv=i, imsk=im,
+        return asx.conv3x3_as_b(
+            feats.astype(dt), tap, kernel.astype(dt),
+            None if bias is None else bias, out_dtype=dt,
         )
-        return jax.vmap(fn)(feats, nb, msk, inv, imsk)
 
 
 class ASConv(nn.Module):

@@ -314,3 +314,43 @@ def test_conv3x3_inv_grad_matches_autodiff(stride):
     y_inv, g_inv = jax.value_and_grad(loss_inv)(feats)
     np.testing.assert_allclose(float(y_ref), float(y_inv), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_inv), rtol=1e-5, atol=1e-6)
+
+
+def test_conv3x3_as_b_matches_per_sample():
+    """Flat-batched conv (one 2D gather per direction) == vmapped per-sample
+    conv, values and feature grads."""
+    rng = np.random.RandomState(5)
+    h = w = 24
+    cap = 96
+    b = 3
+    feats_l, nb_l, msk_l, inv_l, imsk_l = [], [], [], [], []
+    for s in range(b):
+        ids, _ = _random_active(np.random.RandomState(40 + s), h, w, 30 + 9 * s)
+        uids = np.full(cap, h * w, np.int32)
+        uids[: len(ids)] = ids
+        grid = asx.site_index_grid(jnp.asarray(uids), h * w, cap)
+        nb, msk = asx.conv_neighbor_table(jnp.asarray(uids), grid, (h, w), w, 1, cap)
+        inv, imsk = asx.invert_taps(nb, msk, cap)
+        f = rng.randn(cap, 8).astype(np.float32)
+        f[len(ids):] = 0
+        feats_l.append(f); nb_l.append(nb); msk_l.append(msk)
+        inv_l.append(inv); imsk_l.append(imsk)
+    feats = jnp.asarray(np.stack(feats_l))
+    tap = tuple(jnp.stack(t) for t in (nb_l, msk_l, inv_l, imsk_l))
+    kernel = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(16).astype(np.float32) * 0.1)
+    cot = jnp.asarray(rng.randn(b, cap, 16).astype(np.float32))
+
+    def loss_b(f):
+        return jnp.vdot(asx.conv3x3_as_b(f, tap, kernel, bias), cot)
+
+    def loss_ps(f):
+        y = jax.vmap(
+            lambda fi, n, m, i, im: asx.conv3x3_as(fi, n, m, kernel, bias, inv=i, imsk=im)
+        )(f, *tap)
+        return jnp.vdot(y, cot)
+
+    yb, gb = jax.value_and_grad(loss_b)(feats)
+    yp, gp = jax.value_and_grad(loss_ps)(feats)
+    np.testing.assert_allclose(float(yb), float(yp), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gp), rtol=1e-5, atol=1e-6)
