@@ -233,12 +233,19 @@ def _stamp_heatmap(centers_int, radii, local_cls, valid, hw, max_cls, chunk=50):
 
     def body(hm, sl):
         c, r, lc, v = sl
-        dx = xs[None] - c[:, 0, None, None]  # (chunk, H, W)
-        dy = ys[None] - c[:, 1, None, None]
-        sigma = (2 * r.astype(jnp.float32) + 1) / 6.0
-        g = jnp.exp(-(dx * dx + dy * dy) / (2 * sigma * sigma)[:, None, None])
-        support = (jnp.abs(dx) <= r[:, None, None]) & (jnp.abs(dy) <= r[:, None, None])
-        g = jnp.where(support & v[:, None, None], g, 0.0)
+        # the gaussian is separable: exp(-(dx²+dy²)/2σ²) = exp(-dx²/2σ²) ·
+        # exp(-dy²/2σ²), so the transcendental work is 2·(chunk, max(H,W))
+        # vectors instead of (chunk, H, W) maps (r3 profile: the fused exp
+        # body was 4.7 ms/step); the (chunk, H, W) outer product is one
+        # multiply that fuses into the max-compose
+        dx = xs - c[:, 0, None]  # (chunk, W)
+        dy = ys.T - c[:, 1, None]  # (chunk, H)
+        inv2s = 1.0 / (2 * jnp.square((2 * r.astype(jnp.float32) + 1) / 6.0))
+        gx = jnp.exp(-(dx * dx) * inv2s[:, None])
+        gy = jnp.exp(-(dy * dy) * inv2s[:, None])
+        gx = jnp.where((jnp.abs(dx) <= r[:, None]), gx, 0.0)
+        gy = jnp.where((jnp.abs(dy) <= r[:, None]) & v[:, None], gy, 0.0)
+        g = gy[:, :, None] * gx[:, None, :]  # (chunk, H, W)
         onehot = jax.nn.one_hot(lc, max_cls, dtype=g.dtype)  # (chunk, C)
         contrib = jnp.max(g[:, None] * onehot[:, :, None, None], axis=0)  # (C, H, W)
         return jnp.maximum(hm, contrib), None
