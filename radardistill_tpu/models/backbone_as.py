@@ -161,10 +161,8 @@ class PillarRes18BackBone8xAS(nn.Module):
         # ---- stage 1: submanifold at stride 1 (always sparse: the input is
         # a table and the 1440² dense map is what we refuse to materialize)
         grid = jax.vmap(lambda u: asx.site_index_grid(u, h * w, cap1))(uids)
-        nb, msk = jax.vmap(
-            lambda u, g: asx.conv_neighbor_table(u, g, (h, w), w, 1, cap1)
-        )(uids, grid)
-        tap = (nb, msk) + jax.vmap(lambda n, m: asx.invert_taps(n, m, cap1))(nb, msk)
+        nb, msk = asx.conv_neighbor_table_b(uids, grid, (h, w), w, 1, cap1)
+        tap = (nb, msk) + asx.invert_taps_b(nb, msk, cap1)
         x = SparseBasicBlockAS(32, self.dtype, name="conv1_0")(x, tap, valid, train)
         x = SparseBasicBlockAS(32, self.dtype, name="conv1_1")(x, tap, valid, train)
         out["as1"] = (x, uids)
@@ -186,26 +184,18 @@ class PillarRes18BackBone8xAS(nn.Module):
                     lambda u: asx.downsample_active(u, (sh, sw), cap_out)
                 )(uids)
                 overflow = overflow + jnp.sum(jnp.maximum(_cnt - cap_out, 0))
-                nb_d, msk_d = jax.vmap(
-                    lambda nu, g: asx.conv_neighbor_table(
-                        nu, g, (sh, sw), sw // 2, 2, cap_in
-                    )
-                )(new_uids, grid)
-                tap_d = (nb_d, msk_d) + jax.vmap(
-                    lambda n, m: asx.invert_taps(n, m, cap_in)
-                )(nb_d, msk_d)
+                nb_d, msk_d = asx.conv_neighbor_table_b(
+                    new_uids, grid, (sh, sw), sw // 2, 2, cap_in
+                )
+                tap_d = (nb_d, msk_d) + asx.invert_taps_b(nb_d, msk_d, cap_in)
                 sh, sw, cap_in, uids = sh // 2, sw // 2, cap_out, new_uids
                 valid = uids < sh * sw
                 x = SparseDownBlockAS(feat_ch, self.dtype, name=f"conv{stage}_down")(
                     x, tap_d, valid, train
                 )
                 grid = jax.vmap(lambda u: asx.site_index_grid(u, sh * sw, cap_in))(uids)
-                nb, msk = jax.vmap(
-                    lambda u, g: asx.conv_neighbor_table(u, g, (sh, sw), sw, 1, cap_in)
-                )(uids, grid)
-                tap = (nb, msk) + jax.vmap(
-                    lambda n, m: asx.invert_taps(n, m, cap_in)
-                )(nb, msk)
+                nb, msk = asx.conv_neighbor_table_b(uids, grid, (sh, sw), sw, 1, cap_in)
+                tap = (nb, msk) + asx.invert_taps_b(nb, msk, cap_in)
                 x = SparseBasicBlockAS(feat_ch, self.dtype, name=f"conv{stage}_0")(
                     x, tap, valid, train
                 )

@@ -144,6 +144,41 @@ def gather_taps(feats: jnp.ndarray, nb: jnp.ndarray, msk: jnp.ndarray) -> jnp.nd
     return g * msk[..., None].astype(feats.dtype)
 
 
+def conv_neighbor_table_b(
+    out_uids: jnp.ndarray,
+    in_grid: jnp.ndarray,
+    in_hw: Tuple[int, int],
+    out_w: int,
+    stride: int,
+    cap_in: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched :func:`conv_neighbor_table`: out_uids (B, cap_out), in_grid
+    (B, H_in*W_in) -> nb/msk (B, 9, cap_out).
+
+    The site-index lookups run as ONE flat gather over the concatenated
+    grids — the vmapped formulation hands XLA a batched gather whose grid
+    operand gets an interleaved layout (r3 profile: 6.8 ms/step at 4 GB/s
+    for ~550k s32 lookups)."""
+    h_in, w_in = in_hw
+    b = out_uids.shape[0]
+    oy = out_uids // out_w
+    ox = out_uids % out_w
+    out_valid = oy < (h_in // stride)
+
+    ky = jnp.repeat(jnp.arange(3), 3)[None, :, None]  # (1, 9, 1)
+    kx = jnp.tile(jnp.arange(3), 3)[None, :, None]
+    iy = oy[:, None, :] * stride - 1 + ky  # (B, 9, cap_out)
+    ix = ox[:, None, :] * stride - 1 + kx
+    ok = out_valid[:, None, :] & (iy >= 0) & (iy < h_in) & (ix >= 0) & (ix < w_in)
+    hw = h_in * w_in
+    q = jnp.clip(iy * w_in + ix, 0, hw - 1)
+    q_flat = q + (jnp.arange(b, dtype=q.dtype) * hw)[:, None, None]
+    nb = in_grid.reshape(-1).at[q_flat].get(mode="clip")
+    exists = ok & (nb < cap_in)
+    nb_ff = jax.lax.cummax(jnp.where(exists, nb, -1), axis=2)
+    return jnp.clip(nb_ff, 0, cap_in - 1), exists
+
+
 def invert_taps(nb: jnp.ndarray, msk: jnp.ndarray, cap_in: int):
     """Invert per-tap neighbor tables: which OUTPUT references input row r?
 
@@ -177,6 +212,23 @@ def invert_taps(nb: jnp.ndarray, msk: jnp.ndarray, cap_in: int):
     tgt = tgt.reshape(9, cap_in)
     imsk = tgt < cap_out
     inv_ff = jax.lax.cummax(jnp.where(imsk, tgt, -1), axis=1)
+    return jnp.clip(inv_ff, 0, cap_out - 1), imsk
+
+
+def invert_taps_b(nb: jnp.ndarray, msk: jnp.ndarray, cap_in: int):
+    """Batched :func:`invert_taps`: nb/msk (B, 9, cap_out) -> inv/imsk
+    (B, 9, cap_in). One flat sorted scatter-min over all samples and taps
+    (positions b*9*cap_in + k*cap_in + nb are globally non-decreasing)."""
+    b, k, cap_out = nb.shape
+    o_idx = jnp.broadcast_to(jnp.arange(cap_out, dtype=jnp.int32), nb.shape)
+    seg = jnp.arange(b * k, dtype=nb.dtype).reshape(b, k, 1) * cap_in
+    flat_pos = (seg + nb).reshape(-1)
+    vals = jnp.where(msk, o_idx, cap_out).reshape(-1)
+    tgt = jnp.full((b * k * cap_in,), cap_out, jnp.int32).at[flat_pos].min(
+        vals, mode="drop", indices_are_sorted=True
+    ).reshape(b, k, cap_in)
+    imsk = tgt < cap_out
+    inv_ff = jax.lax.cummax(jnp.where(imsk, tgt, -1), axis=2)
     return jnp.clip(inv_ff, 0, cap_out - 1), imsk
 
 

@@ -354,3 +354,53 @@ def test_conv3x3_as_b_matches_per_sample():
     yp, gp = jax.value_and_grad(loss_ps)(feats)
     np.testing.assert_allclose(float(yb), float(yp), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gp), rtol=1e-5, atol=1e-6)
+
+
+def test_conv_neighbor_table_b_matches_per_sample():
+    rng = np.random.RandomState(9)
+    h = w = 24
+    cap = 96
+    uids_l, grids = [], []
+    for s in range(3):
+        ids, _ = _random_active(np.random.RandomState(60 + s), h, w, 25 + 11 * s)
+        uids = np.full(cap, h * w, np.int32)
+        uids[: len(ids)] = ids
+        uids_l.append(jnp.asarray(uids))
+        grids.append(asx.site_index_grid(jnp.asarray(uids), h * w, cap))
+    uids_b, grid_b = jnp.stack(uids_l), jnp.stack(grids)
+    for stride in (1, 2):
+        if stride == 1:
+            outs = uids_b
+        else:
+            outs = jnp.stack([
+                asx.downsample_active(u, (h, w), cap)[0] for u in uids_l
+            ])
+        nb_b, msk_b = asx.conv_neighbor_table_b(
+            outs, grid_b, (h, w), w // stride, stride, cap
+        )
+        for i in range(3):
+            nb, msk = asx.conv_neighbor_table(
+                outs[i], grids[i], (h, w), w // stride, stride, cap
+            )
+            np.testing.assert_array_equal(np.asarray(nb_b[i]), np.asarray(nb))
+            np.testing.assert_array_equal(np.asarray(msk_b[i]), np.asarray(msk))
+
+
+def test_invert_taps_b_matches_per_sample():
+    rng = np.random.RandomState(21)
+    h = w = 24
+    cap = 96
+    nb_l, msk_l = [], []
+    for s in range(3):
+        ids, _ = _random_active(np.random.RandomState(80 + s), h, w, 20 + 13 * s)
+        uids = np.full(cap, h * w, np.int32)
+        uids[: len(ids)] = ids
+        grid = asx.site_index_grid(jnp.asarray(uids), h * w, cap)
+        nb, msk = asx.conv_neighbor_table(jnp.asarray(uids), grid, (h, w), w, 1, cap)
+        nb_l.append(nb); msk_l.append(msk)
+    nb_b, msk_b = jnp.stack(nb_l), jnp.stack(msk_l)
+    inv_b, imsk_b = asx.invert_taps_b(nb_b, msk_b, cap)
+    for i in range(3):
+        inv, imsk = asx.invert_taps(nb_l[i], msk_l[i], cap)
+        np.testing.assert_array_equal(np.asarray(inv_b[i]), np.asarray(inv))
+        np.testing.assert_array_equal(np.asarray(imsk_b[i]), np.asarray(imsk))
