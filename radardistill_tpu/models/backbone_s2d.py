@@ -216,10 +216,16 @@ class _PackedSubmConv(nn.Module):
     int8: bool = False
 
     @nn.compact
-    def __call__(self, x):
-        from .layers import int8_conv
+    def __call__(self, x, pieces: bool = False):
+        from .layers import int8_conv, int8_qkernel
 
         k, b = _KernelHolder(self.cin, self.cout, self.use_bias, name="conv")()
+        if pieces:
+            # int8-static chain: packed quantized kernel + dequant scales
+            kp = pack_subm_kernel(k.astype(jnp.float32), self.cin, self.cout)
+            kq, sw = int8_qkernel(kp)
+            b4 = jnp.tile(b, 4).astype(jnp.float32) if b is not None else None
+            return kq, sw, b4
         dt = self.dtype or x.dtype
         if self.int8:
             kp = pack_subm_kernel(k, self.cin, self.cout)
@@ -243,12 +249,22 @@ class PackedMaskedBatchNorm(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, mask_p, train: bool):
+    def __call__(self, x, mask_p, train: bool, affine: bool = False):
         c = self.features
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+
+        if affine:
+            # int8-static chain (layers.py): eval-BN as a packed affine
+            from .layers import INT8_SIGMA
+
+            assert not train
+            gt = jax.lax.rsqrt(ra_var.value + self.eps) * scale
+            shift = bias - ra_mean.value * gt
+            bound = jnp.max(jnp.abs(bias) + INT8_SIGMA * jnp.abs(scale))
+            return jnp.tile(gt, 4), jnp.tile(shift, 4), bound
 
         if train:
             # multiply in the compute dtype, ACCUMULATE in f32 (dtype= on the
@@ -280,16 +296,38 @@ class S2DBasicBlock(nn.Module):
     features: int
     dtype: Any = None
     int8: bool = False
+    int8_static: bool = False
 
     @nn.compact
     def __call__(self, x, mask_p, train):
         c = self.features
+        conv1 = _PackedSubmConv(c, c, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv1")
+        bn1 = PackedMaskedBatchNorm(c, dtype=self.dtype, name="bn1")
+        conv2 = _PackedSubmConv(c, c, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv2")
+        bn2 = PackedMaskedBatchNorm(c, dtype=self.dtype, name="bn2")
+
+        if self.int8_static and not train:
+            # int8 chain: whole link (int8 MXU conv + dequant·BN·relu·mask·
+            # requant epilogue) as ONE fused Pallas kernel — expressed in
+            # XLA the int32 conv output round-trips HBM and the chain LOSES
+            # to bf16 (PERF.md r3)
+            from ..ops.pallas_int8_conv import int8_block_conv
+
+            mq = _phase_mask_flat(mask_p, c).astype(jnp.int8)
+            kq1, sw1, b1 = conv1(None, pieces=True)
+            gt1, sh1, bnd1 = bn1(None, mask_p, False, affine=True)
+            q1 = int8_block_conv(x, kq1, sw1, b1, gt1, sh1, bnd1, mq)
+            kq2, sw2, b2 = conv2(None, pieces=True)
+            gt2, sh2, bnd2 = bn2(None, mask_p, False, affine=True)
+            return int8_block_conv(q1, kq2, sw2, b2, gt2, sh2, bnd2, mq,
+                                   res=x)
+
         m = _phase_mask_flat(mask_p, c).astype(x.dtype)
-        y = _PackedSubmConv(c, c, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv1")(x)
-        y = PackedMaskedBatchNorm(c, dtype=self.dtype, name="bn1")(y, mask_p, train)
+        y = conv1(x)
+        y = bn1(y, mask_p, train)
         y = nn.relu(y) * m
-        y = _PackedSubmConv(c, c, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv2")(y)
-        y = PackedMaskedBatchNorm(c, dtype=self.dtype, name="bn2")(y, mask_p, train)
+        y = conv2(y)
+        y = bn2(y, mask_p, train)
         return nn.relu(y + x) * m
 
 
@@ -301,15 +339,30 @@ class S2DDownBlock(nn.Module):
     features: int
     dtype: Any = None
     int8: bool = False
+    int8_static: bool = False
 
     @nn.compact
     def __call__(self, x_packed, mask, train):
-        from .layers import int8_conv
+        from .layers import int8_conv, int8_qkernel
 
         # mask: ORIGINAL-resolution (B, H, W) occupancy (tiny; bookkeeping
         # stays at original resolution)
         new_mask = max_pool_mask(mask, 3, 2, 1)
         k, _ = _ConvScope(self.cin, self.features, False, name="conv")()
+        bn = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE,
+                             dtype=self.dtype, name="bn")
+        if self.int8_static and not train:
+            # chain TERMINUS: consume the int8 carry with one XLA int8 conv
+            # and return FLOAT — stage 2 runs the float path (the stage-2
+            # C=64 shapes are where int8 stops paying; PERF.md r3)
+            from .layers import int8_conv_affine
+
+            kq, sw = int8_qkernel(pack_down_kernel(
+                k.astype(jnp.float32), self.cin, self.features))
+            gt, sh, _ = bn(kq, new_mask, False, affine=True)
+            y = int8_conv_affine(x_packed, kq, sw, None, gt, sh, 1, ((1, 0), (1, 0)))
+            y = nn.relu(y) * new_mask[..., None].astype(jnp.float32)
+            return y.astype(self.dtype or jnp.float32), new_mask
         dt = self.dtype or x_packed.dtype
         if self.int8:
             kp = pack_down_kernel(k, self.cin, self.features)
@@ -317,8 +370,7 @@ class S2DDownBlock(nn.Module):
         else:
             kp = pack_down_kernel(k.astype(dt), self.cin, self.features)
             y = _conv(x_packed.astype(dt), kp, ((1, 0), (1, 0)))
-        y = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE,
-                            dtype=self.dtype, name="bn")(y, new_mask, train)
+        y = bn(y, new_mask, train)
         y = nn.relu(y)
         return y * new_mask[..., None].astype(y.dtype), new_mask
 
@@ -367,6 +419,11 @@ class PillarRes18BackBone8xS2D(nn.Module):
     unpack_outputs: bool = False
     pack_stage2: bool = False   # also run stage 2 packed (360², 4·64)
     int8: bool = False          # frozen-teacher int8 convs (layers.int8_conv)
+    # frozen-teacher STATIC int8 chain: activations flow as int8 between
+    # convs, every quantize is a fused epilogue with BN-derived bounds
+    # (layers.py int8 narrative); eval/frozen forward only — train falls
+    # back to float. Same checkpoint layout (bounds are derived, not stored).
+    int8_static: bool = False
     # table input: consume the sparse VFE's (table, uids) directly and
     # densify straight INTO the packed layout (ops/active_site.py
     # densify_packed) — the dense stride-1 grid never exists in unpacked
@@ -390,9 +447,25 @@ class PillarRes18BackBone8xS2D(nn.Module):
             x = x * _phase_mask_flat(mask_p, bev.shape[-1]).astype(x.dtype)
 
         q = self.int8
+        qs = self.int8_static and not train
+        if qs:
+            from .layers import deq8, q8
+
+            assert not self.pack_stage2, "int8_static covers the shipped path"
+            # stage-entry quantization: ONE dynamic abs-max of the packed
+            # masked input (everything downstream uses BN-derived bounds)
+            bnd0 = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-6)
+            x = (q8(x.astype(jnp.float32), bnd0), bnd0, 0.0)
+
+            def dq(t):
+                return deq8(*t).astype(self.dtype or jnp.float32)
+        else:
+            def dq(t):
+                return t
+
         # conv1: two residual blocks at stride 1, packed
-        x = S2DBasicBlock(32, self.dtype, int8=q, name="conv1_0")(x, mask_p, train)
-        x1p = S2DBasicBlock(32, self.dtype, int8=q, name="conv1_1")(x, mask_p, train)
+        x = S2DBasicBlock(32, self.dtype, int8=q, int8_static=qs, name="conv1_0")(x, mask_p, train)
+        x1p = S2DBasicBlock(32, self.dtype, int8=q, int8_static=qs, name="conv1_1")(x, mask_p, train)
 
         if self.pack_stage2:
             # conv2: packed->packed down + 2 packed blocks at (360², 256)
@@ -405,13 +478,18 @@ class PillarRes18BackBone8xS2D(nn.Module):
             # conv3_down consumes the packed stage-2 grid (2×2 packed kernel)
             x, mask3 = S2DDownBlock(64, 128, self.dtype, int8=q, name="conv3_down")(x2p, mask2, train)
         else:
-            # conv2: packed down + 2 dense-grid blocks at 720²
-            x, mask2 = S2DDownBlock(32, 64, self.dtype, int8=q, name="conv2_down")(x1p, mask, train)
+            # conv2: packed down + 2 dense-grid blocks at 720². The int8
+            # chain covers stage 1 (the Pallas fused links at C=128) and
+            # TERMINATES in the conv2_down link — stage-2's C=64 shapes are
+            # lane-padded for int8 tiles and the XLA-expressed chain loses
+            # to bf16 there (PERF.md r3); fewer requant hops also keeps the
+            # feature error at the single-stage level.
+            x, mask2 = S2DDownBlock(32, 64, self.dtype, int8=q, int8_static=qs, name="conv2_down")(x1p, mask, train)
             x = SparseBasicBlock(64, self.dtype, int8=q, name="conv2_0")(x, mask2, train)
             x2 = SparseBasicBlock(64, self.dtype, int8=q, name="conv2_1")(x, mask2, train)
             x2p = None
 
-            # conv3
+            # conv3 (float from here)
             x, mask3 = SparseDownBlock(128, self.dtype, int8=q, name="conv3_down")(x2, mask2, train)
         x = SparseBasicBlock(128, self.dtype, int8=q, name="conv3_0")(x, mask3, train)
         x3 = SparseBasicBlock(128, self.dtype, int8=q, name="conv3_1")(x, mask3, train)
@@ -433,10 +511,10 @@ class PillarRes18BackBone8xS2D(nn.Module):
             "mask1": mask, "mask2": mask2, "mask3": mask3, "mask4": mask4,
         }
         if self.unpack_outputs:
-            out["x_conv1"] = depth_to_space(x1p, 32)
+            out["x_conv1"] = depth_to_space(dq(x1p), 32)
             out["x_conv2"] = depth_to_space(x2p, 64) if x2 is None else x2
         else:
-            out["x_conv1_packed"] = x1p
+            out["x_conv1_packed"] = dq(x1p)
             if x2 is None:
                 out["x_conv2_packed"] = x2p
             else:

@@ -202,11 +202,19 @@ class PillarNet(nn.Module):
             name = sub.get("NAME", "PillarRes18BackBone8x")
             cls = BACKBONE3D_REGISTRY[name]
             kwargs = {}
-            if sub.get("INT8", False):
-                # int8 teacher path (frozen scopes only — int8_conv is not
-                # differentiable); supported by the dense + S2D formulations
-                assert cls in (PillarRes18BackBone8x, PillarRes18BackBone8xS2D)
-                kwargs["int8"] = True
+            int8_mode = sub.get("INT8", False)
+            if int8_mode:
+                # int8 teacher path (frozen scopes only — not differentiable,
+                # eval-BN). INT8: true/'dynamic' = per-conv abs-max scales
+                # (layers.int8_conv); INT8: 'static' = the fused chain with
+                # BN-derived bounds and int8 activations flowing between
+                # convs (layers.py int8 narrative, S2D formulation).
+                if int8_mode == "static":
+                    assert cls is PillarRes18BackBone8xS2D, int8_mode
+                    kwargs["int8_static"] = True
+                else:
+                    assert cls in (PillarRes18BackBone8x, PillarRes18BackBone8xS2D)
+                    kwargs["int8"] = True
             if cls is PillarRes18BackBone8xTileSparse:
                 kwargs = dict(tile=sub.get("TILE", 32), max_tiles=sub.get("MAX_TILES", 512))
             if cls is PillarRes18BackBone8xS2D and name.endswith("_S2D2"):

@@ -50,6 +50,88 @@ def conv_kernel_init_torch(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+# ---------------------------------------------------------------------------
+# Static-scale int8 chain (frozen teacher). The dynamic int8_conv below was
+# measured in-model NEUTRAL (PERF.md r3): its per-conv abs-max reduce forces
+# the f32 conv output to materialize in HBM, costing the bytes the int8 MXU
+# saved. The static chain derives activation bounds ANALYTICALLY from the
+# (frozen, eval-mode) BatchNorm parameters — post-BN activations distribute
+# as mean β, std γ under the running statistics, so |y| <= max_c(|β_c| +
+# K·|γ_c|) — which makes every quantize a pure elementwise epilogue that XLA
+# fuses into the conv output write. Activations then FLOW as int8 between
+# convs (HBM bytes halve vs bf16), dequantizing only at stage boundaries.
+# No new state: bounds are derived from existing params, so the checkpoint
+# layout is bit-identical to the float path.
+# ---------------------------------------------------------------------------
+
+INT8_SIGMA = 6.0  # K in the analytic bound; outliers beyond K·σ saturate
+
+
+def int8_qkernel(kernel):
+    """Per-output-channel symmetric int8 kernel quantization.
+
+    Returns (kq int8, sw (Co,) f32 dequant scales)."""
+    kf = kernel.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
+    kq = jnp.round(kf / sw).astype(jnp.int8)
+    return kq, sw
+
+
+def int8_conv_i32(xq, kq, stride, padding):
+    """int8 x int8 NHWC conv accumulated in int32 on the MXU."""
+    return jax.lax.conv_general_dilated(
+        xq, kq, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def q8(y, bound, zero=0.0):
+    """Quantize f32 y to int8 with zero-point ``zero`` (0 = symmetric signed;
+    127 = unsigned-in-signed for post-relu tensors: y ∈ [0, bound] maps to
+    [-127, 127], DOUBLING resolution). Pure elementwise — fuses into the
+    producer's epilogue. Dequant: (q + zero) · bound/(127 + zero)."""
+    s = (127.0 + zero) / jnp.maximum(bound, 1e-8)
+    return jnp.clip(jnp.round(y * s) - zero, -127.0, 127.0).astype(jnp.int8)
+
+
+def deq8(xq, bound, zero=0.0):
+    return (xq.astype(jnp.float32) + zero) * (
+        jnp.maximum(bound, 1e-8) / (127.0 + zero)
+    )
+
+
+def int8_conv_affine(xc, kq, sw, bias, gt, sh, stride, padding):
+    """One chain link: int8 conv + the WHOLE dequant·bias·BN affine as one
+    fused elementwise epilogue.
+
+    Zero-point carries (post-relu unsigned-in-signed, zero=127) are handled
+    EXACTLY by padding the int8 operand with ``-zero`` instead of 0 — a
+    padding cell then satisfies (xq + zero) = 0, i.e. dequantizes to true
+    zero, so conv(x)/s_in = conv_valid(pad(xq, -zero)) + zero·Σkq where the
+    second term is a per-channel CONSTANT that folds into the affine. No
+    border-correction map, one int8 pad copy (half the bytes of a bf16
+    activation) per conv.
+
+    xc: (xq int8 NHWC, bound, zero) carry; padding ((a,b),(c,d)) explicit.
+    Returns pre-relu f32.
+    """
+    xq, bnd, zero = xc
+    s_in = jnp.maximum(bnd, 1e-8) / (127.0 + zero)
+    if zero:
+        pv = jnp.asarray(-zero, jnp.int8)
+        xq = jax.lax.pad(
+            xq, pv,
+            [(0, 0, 0), (*padding[0], 0), (*padding[1], 0), (0, 0, 0)])
+        y = int8_conv_i32(xq, kq, stride, "VALID").astype(jnp.float32)
+        y = y + zero * kq.astype(jnp.float32).sum(axis=(0, 1, 2))
+    else:
+        y = int8_conv_i32(xq, kq, stride, padding).astype(jnp.float32)
+    alpha = s_in * sw * gt
+    beta = (0.0 if bias is None else bias) * gt + sh
+    return y * alpha + beta
+
+
 def int8_conv(x, kernel, stride, padding, bias=None, out_dtype=None):
     """Dynamic symmetric int8 quantized NHWC conv (frozen-teacher path).
 
@@ -109,8 +191,17 @@ class Conv2dTorch(nn.Module):
     int8: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, qpieces: bool = False):
         k, p = self.kernel_size, self.padding
+        if qpieces:
+            # int8-static chain: quantized kernel + scales (params under the
+            # same 'conv' scope as the float/nn.Conv path)
+            assert self.groups == 1
+            kern, bias = _ConvParams(
+                (k, k, x.shape[-1], self.features), self.features,
+                self.use_bias, self.kernel_init, name="conv")()
+            kq, sw = int8_qkernel(kern)
+            return kq, sw, (None if bias is None else bias.astype(jnp.float32))
         if self.int8:
             assert self.groups == 1, "int8 path assumes groups=1"
             kern, bias = _ConvParams(
@@ -198,12 +289,22 @@ class MaskedBatchNorm(nn.Module):
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x, mask, train: bool):
+    def __call__(self, x, mask, train: bool, affine: bool = False):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+
+        if affine:
+            # int8-static chain: the eval-mode BN as (γ̃, shift, bound) —
+            # y = γ̃·x + shift; post-BN activations bound by max(|β| + K·|γ|)
+            # (x is only used for the channel count)
+            assert not train, "affine extraction is an eval-only (frozen) path"
+            gt = jax.lax.rsqrt(ra_var.value + self.eps) * scale
+            shift = bias - ra_mean.value * gt
+            bound = jnp.max(jnp.abs(bias) + INT8_SIGMA * jnp.abs(scale))
+            return gt, shift, bound
 
         if train:
             # single-pass statistics (Σx, Σx²) — one fewer full-tensor

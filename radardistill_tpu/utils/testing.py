@@ -179,6 +179,10 @@ def apply_bench_backbone_env(cfg):
         cfg.BACKBONE_3D.TABLE_INPUT = True
         cfg.BACKBONE_3D.TABLE_CAPACITY = int(
             os.environ.get("BENCH_LIDAR_PTS", 160_000))
+    # BENCH_INT8=static|1: frozen-teacher int8 conv mode (dev-only A/B)
+    int8_mode = os.environ.get("BENCH_INT8", "")
+    if int8_mode and "BACKBONE_3D" in cfg:
+        cfg.BACKBONE_3D.INT8 = "static" if int8_mode == "static" else True
     as_mode = os.environ.get("BENCH_AS", "")
     if as_mode == "0" and "RADAR_BACKBONE_3D" in cfg:
         _strip(cfg.RADAR_BACKBONE_3D, ("_AS",))

@@ -69,3 +69,40 @@ def test_int8_s2d_matches_dense_int8_tree():
     flat_s = {jax.tree_util.keystr(k) for k, _ in
               jax.tree_util.tree_flatten_with_path(v_s["params"])[0]}
     assert flat_d == flat_s
+
+
+def test_int8_static_chain_close_to_f32():
+    """Static chain (BN-derived bounds, int8 activations between convs):
+    same checkpoint, bounded feature error, train-mode falls back to float
+    exactly.
+
+    The analytic bound max(|β| + K|γ|) describes post-BN activations when
+    the running statistics describe the data — true for any trained/frozen
+    teacher, NOT at random init (running var 1 vs actual conv-out var ~0.25,
+    so the bound is ~2x loose and the int8 step noise compounds). The test
+    therefore adapts the running stats to the input first (the float path
+    is unaffected by stats scale)."""
+    bev, mask = _inputs(seed=3)
+    m_f = PillarRes18BackBone8xS2D(dtype=jnp.float32)
+    m_q = PillarRes18BackBone8xS2D(dtype=jnp.float32, int8_static=True)
+    v = m_f.init(jax.random.PRNGKey(0), bev, mask, False)
+    assert jax.tree.structure(m_q.init(
+        jax.random.PRNGKey(0), bev, mask, False)) == jax.tree.structure(v)
+    # adapt running stats (momentum 0.01 -> ~95% in 300 steps)
+    apply_t = jax.jit(lambda v, b, m: m_f.apply(
+        v, b, m, True, mutable=["batch_stats"])[1])
+    v = dict(v)
+    for _ in range(300):
+        v["batch_stats"] = apply_t(v, bev, mask)["batch_stats"]
+    of = m_f.apply(v, bev, mask, False)
+    oq = m_q.apply(v, bev, mask, False)
+    for k in ("x_conv3", "x_conv4", "x_conv5"):
+        a = np.asarray(of[k], np.float32)
+        b = np.asarray(oq[k], np.float32)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+        assert 0 < rel < 0.08, (k, rel)
+    # train-mode: the static flag must be inert (float path, bit-identical)
+    ot, _ = m_f.apply(v, bev, mask, True, mutable=["batch_stats"])
+    oqt, _ = m_q.apply(v, bev, mask, True, mutable=["batch_stats"])
+    for k in ("x_conv3", "x_conv4", "x_conv5"):
+        np.testing.assert_array_equal(np.asarray(ot[k]), np.asarray(oqt[k]))

@@ -565,3 +565,177 @@ def main_probe2():
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "probe2":
     main_probe2()
     sys.exit(0)
+
+
+def _kernel_int8(x_hbm, k_ref, a_ref, out_ref, xbuf, sem, *, w, c, co):
+    """int8 chain probe: int8 DMA in, 9 int8 dots -> int32 acc, fused
+    affine+relu+quant epilogue, int8 out. Measures whether Mosaic int8
+    matmul delivers the ~2x MXU rate at the conv-wall shape."""
+    import jax
+    import jax.numpy as jnp
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * BH, BH + 2)], xbuf, sem)
+    cp.start()
+    cp.wait()
+    flat = xbuf[:].reshape((BH + 2) * w, c)[: BH * w]
+    acc = jnp.zeros((BH * w, co), jnp.int32)
+    for t in range(9):
+        acc += jax.lax.dot_general(
+            flat, k_ref[t], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * a_ref[0][None, :]
+    y = jnp.maximum(y, 0.0)
+    q = jnp.clip(jnp.round(y * 0.37) - 127.0, -127.0, 127.0)
+    out_ref[:] = q.reshape(1, BH, w, co).astype(jnp.int8)
+
+
+def main_int8():
+    import jax
+    import jax.numpy as jnp
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent / ".jax_tpu_cache"),
+    )
+    rng = np.random.RandomState(0)
+    B, H, W, C = 2, 720, 720, 128
+    FLOPS = B * H * W * C * C * 9 * 2
+    k = jnp.asarray(rng.randint(-127, 128, (9, C, C)), jnp.int8)
+    a = jnp.asarray(np.abs(rng.randn(1, C)) * 1e-4, jnp.float32)
+    x = jnp.asarray(rng.randint(-127, 128, (B, H, W, C)), jnp.int8)
+
+    @jax.jit
+    def run(xp, k, a):
+        return pl.pallas_call(
+            functools.partial(_kernel_int8, w=W, c=C, co=C),
+            grid=(B, H // BH),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((9, C, C), lambda b, i: (0, 0, 0)),
+                pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, BH, W, C), lambda b, i: (b, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.int8),
+            scratch_shapes=[
+                pltpu.VMEM((BH + 2, W, C), jnp.int8),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(xp, k, a)
+
+    SCAN = 8
+
+    def multi(x0):
+        def body(xc, _):
+            y = run(jnp.pad(xc, ((0, 0), (1, 1), (0, 0), (0, 0))), k, a)
+            return y, ()
+        xN, _ = jax.lax.scan(body, x0, None, length=SCAN)
+        return jnp.sum(xN.astype(jnp.float32))
+
+    f = jax.jit(multi)
+    _ = float(f(x))
+    ts = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        _ = float(f(x))
+        ts.append(time.perf_counter() - t0)
+    ms = float(np.median(ts)) * 1e3 / SCAN
+    print(f"pallas int8 9-dots fused: {ms:.2f} ms  {FLOPS / ms / 1e9:.1f} TF/s")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "int8":
+    main_int8()
+    sys.exit(0)
+
+
+def _kernel_int8_n512(x_hbm, k_ref, a_ref, out_ref, xbuf, sem, *, w, c, co):
+    """int8 rate probe at N=512 (4x lanes): 9 dots co=512."""
+    import jax
+    import jax.numpy as jnp
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * BH, BH + 2)], xbuf, sem)
+    cp.start()
+    cp.wait()
+    flat = xbuf[:].reshape((BH + 2) * w, c)[: BH * w]
+    acc = jnp.zeros((BH * w, co), jnp.int32)
+    for t in range(9):
+        acc += jax.lax.dot_general(
+            flat, k_ref[t], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * a_ref[0][None, :]
+    q = jnp.clip(jnp.round(y * 0.37) - 127.0, -127.0, 127.0)
+    out_ref[:] = q.reshape(1, BH, w, co).astype(jnp.int8)
+
+
+def main_int8_n512():
+    import jax
+    import jax.numpy as jnp
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent / ".jax_tpu_cache"),
+    )
+    rng = np.random.RandomState(0)
+    B, H, W, C = 2, 720, 720, 128
+    CO = 512
+    FLOPS = B * H * W * C * CO * 9 * 2
+    k = jnp.asarray(rng.randint(-127, 128, (9, C, CO)), jnp.int8)
+    a = jnp.asarray(np.abs(rng.randn(1, CO)) * 1e-4, jnp.float32)
+    x = jnp.asarray(rng.randint(-127, 128, (B, H, W, C)), jnp.int8)
+
+    @jax.jit
+    def run(xp, k, a):
+        return pl.pallas_call(
+            functools.partial(_kernel_int8_n512, w=W, c=C, co=CO),
+            grid=(B, H // BH),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((9, C, CO), lambda b, i: (0, 0, 0)),
+                pl.BlockSpec((1, CO), lambda b, i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, BH, W, CO), lambda b, i: (b, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, H, W, CO), jnp.int8),
+            scratch_shapes=[
+                pltpu.VMEM((BH + 2, W, C), jnp.int8),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(xp, k, a)
+
+    SCAN = 8
+
+    def multi(x0):
+        def body(xc, _):
+            y = run(jnp.pad(xc, ((0, 0), (1, 1), (0, 0), (0, 0))), k, a)
+            return y[..., :C], ()
+        xN, _ = jax.lax.scan(body, x0, None, length=SCAN)
+        return jnp.sum(xN.astype(jnp.float32))
+
+    f = jax.jit(multi)
+    _ = float(f(x))
+    ts = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        _ = float(f(x))
+        ts.append(time.perf_counter() - t0)
+    ms = float(np.median(ts)) * 1e3 / SCAN
+    print(f"pallas int8 9-dots N=512: {ms:.2f} ms  {FLOPS / ms / 1e9:.1f} TF/s")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "int8n512":
+    main_int8_n512()
+    sys.exit(0)
