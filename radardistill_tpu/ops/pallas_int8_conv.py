@@ -163,5 +163,10 @@ def int8_block_conv(xc, kq, sw, bias, gt, sh, bound, mask_q, res=None):
         ab = ab.at[4].set(rz * rs)
 
     interpret = jax.devices()[0].platform != "tpu"
+    # frozen-teacher only: sever tangents BEFORE the kernel — pallas_call
+    # has no JVP rule, and under value_and_grad the teacher params still
+    # carry (optax-masked) tangents into this subgraph
+    xp, k9, ab, mask_q, resq = jax.lax.stop_gradient(
+        (xp, k9, ab, mask_q, resq))
     q = _chain_call(xp, k9, ab, mask_q, resq, zpad, interpret=interpret)
-    return q, b_out, 127.0
+    return q, jax.lax.stop_gradient(b_out), 127.0
