@@ -434,10 +434,12 @@ class PillarRes18BackBone8xS2D(nn.Module):
 
     @nn.compact
     def __call__(self, bev, mask, train: bool) -> Dict[str, jnp.ndarray]:
+        entry_src = None
         if self.table_input:
             from ..ops import active_site as asx
 
             table, uids = bev, mask  # (B, cap, C), (B, cap)
+            entry_src = table
             x, mask = asx.densify_packed_batch(table, uids, self.hw)
             mask_p = pack_mask(mask)
             # inactive cells gather the zero sentinel row: already masked
@@ -452,9 +454,15 @@ class PillarRes18BackBone8xS2D(nn.Module):
             from .layers import deq8, q8
 
             assert not self.pack_stage2, "int8_static covers the shipped path"
-            # stage-entry quantization: ONE dynamic abs-max of the packed
-            # masked input (everything downstream uses BN-derived bounds)
-            bnd0 = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-6)
+            # stage-entry quantization: ONE dynamic abs-max — over the
+            # COMPACT table when available (dense cells are gathered table
+            # rows or zeros, so max|table| >= max|dense| is a valid bound at
+            # ~40x fewer bytes than reducing the 265 MB dense grid)
+            src = x if entry_src is None else entry_src
+            # abs+max stay in the source dtype (max of bf16 values is
+            # exact); only the scalar upcasts
+            bnd0 = jnp.maximum(
+                jnp.max(jnp.abs(src)).astype(jnp.float32), 1e-6)
             x = (q8(x.astype(jnp.float32), bnd0), bnd0, 0.0)
 
             def dq(t):

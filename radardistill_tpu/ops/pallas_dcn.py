@@ -14,16 +14,24 @@ regardless of layout; these kernels remove ALL per-row machinery:
   generalized to weighted 4-corner rows with a 2D window:
 
   - K1 `dcn_sample`: corner weights folded with the modulation mask →
-    sampled taps (B, Ho, 9, Wo, C). The conv contraction with the (9,Ci,Co)
-    weight stays in XLA (fuses, provides dW via plain matmul transpose).
+    sampled taps (B, Ho, Wo, 9·C) TAP-MAJOR LANES, so the conv contraction
+    with the (9·Ci, Co) weight is a plain last-dim matmul in XLA (fuses,
+    provides dW via plain matmul transpose, and needs NO relayout of the
+    75 MB tap tensor — the r3 profile showed 22 ms/step of copies around
+    the earlier (B,Ho,9,Wo,C) layout).
   - K2 `dcn_offset_grad`: per tap, P = dsm @ patchᵀ ONCE (one MXU matmul),
     then the ∂wt/∂Δh and ∂wt/∂Δw one-hot matrices reduce elementwise
-    against P → dΔ directly as (B, Ho, 18, Wo). Half the MXU work of
+    against P → dΔ directly as (B, Ho, WoP, 18). Half the MXU work of
     materializing unmasked derivative samples, none of their HBM traffic.
-  - K3 `dcn_input_grad`: the transpose. Each 8×WB input-cell block receives
-    only from a bounded (24, 40) window of output sites per tap, DMA'd at
-    dynamic offsets; dX_block += Mᵀ-style (cells, samples)x(samples, C)
-    matmuls. No scatter anywhere.
+  - K3 `dcn_input_grad`: the transpose. Each (GRAD_IR, GC) input-cell block
+    receives only from a bounded (rows, woc) window of output sites per
+    tap, DMA'd at dynamic offsets; dX_block += Mᵀ-style
+    (cells, samples)x(samples, C) matmuls. No scatter anywhere.
+
+  All three kernels chunk the COLUMN dimension too (OC output cols for
+  K1/K2, GC input cols for K3): the one-hot matmuls contract over
+  rows·cols window CELLS, and full-width windows paid ~3x the FLOPs each
+  chunk actually touches (patch_cols/woc vs W8/Wo8).
   - dmask needs no kernel: sampled = mask·s_unmasked ⇒
     dmask[p] = ⟨dsampled[p], sampled[p]⟩ / max(mask, 1e-6).
 
@@ -74,6 +82,31 @@ def grad_rows(r):
     return _round8(r + 9)
 
 
+def patch_cols(oc, r, stride):
+    """K1/K2 input-col window for an OC-wide output-col chunk (the column
+    analog of patch_rows): the clamped taps of outputs [o0, o0+OC) touch
+    input cols [o0·s − 1 − r, (o0+OC−1)·s + 2 + r] — width OC·s + 2r + 4,
+    plus 8 slack because the window START must floor to a multiple of 8
+    (sublane-dim DMA offsets must be 8-aligned on TPU). Column chunking is
+    the K1/K2 FLOP lever: the one-hot window matmuls contract over
+    rows·cols CELLS, and the full-width window paid for the whole grid row
+    (W8=184) when each chunk only touches ~56."""
+    return _round8(oc * stride + 2 * r + 12)
+
+
+OC = 16  # K1/K2 output-col chunk (8-divisible: Mosaic block constraint);
+         # Wo is padded to a multiple of OC, padded cols sample exact zeros
+         # (zero offsets land off-grid) and are sliced away at the boundary
+
+
+def _pad_wo(t, wo):
+    """Pad dim 2 (Wo) to a multiple of OC."""
+    wop = -(-wo // OC) * OC
+    if wop == wo:
+        return t, wop
+    return jnp.pad(t, ((0, 0), (0, 0), (0, wop - wo), (0, 0))), wop
+
+
 GRAD_IR = 10             # K3 input-row block (divides both CMA heights 180/90)
 
 # Mosaic's default scoped-VMEM limit is 16 MB; K2's two derivative modes
@@ -87,14 +120,14 @@ def _corner_tables():
     return ((0, 0), (0, 1), (1, 0), (1, 1))
 
 
-def _tap_geometry(i_ho, offs, k, stride, pad, r, w_count):
-    """Per-tap local sample coords for output row i_ho.
+def _tap_geometry(i_ho, o0, offs, k, stride, pad, r):
+    """Per-tap sample coords for output row i_ho, output cols [o0, o0+OC).
 
-    offs: (Wo, 18) f32. Returns (ph, pw) f32 (Wo,) ABSOLUTE positions."""
+    offs: (OC, 18) f32 chunk. Returns (ph, pw) f32 (OC,) ABSOLUTE positions."""
     ki, kj = k // 3, k % 3
     dy = jnp.clip(offs[:, 2 * k], -r, r)
     dx = jnp.clip(offs[:, 2 * k + 1], -r, r)
-    wo = jax.lax.broadcasted_iota(
+    wo = o0 + jax.lax.broadcasted_iota(
         jnp.int32, (offs.shape[0], 1), 0)[:, 0].astype(jnp.float32)
     ph = (i_ho * stride - pad + ki) + dy
     pw = (wo * stride - pad + kj) + dx
@@ -118,27 +151,27 @@ def _weights(dh, dw, a, b, mode):
     raise ValueError(mode)
 
 
-def _build_m(ph, pw, r0, w_valid, w_stride, n_cells_rows, mode, extra=None,
+def _build_m(ph, pw, r0, c0, w_valid, ic, n_cells_rows, mode, extra=None,
              dtype=jnp.float32):
-    """Interpolation matrix (Wo, n_cells_rows*w_stride) f32 for one tap.
+    """Interpolation matrix (OC, n_cells_rows*ic) f32 for one tap.
 
-    ph/pw absolute f32 positions; rows local to window starting at r0.
-    w_valid: logical grid width; w_stride: padded row stride (Mosaic DMA
-    slices must be 8-aligned on the sublane dim, so W is padded outside).
-    extra: optional (Wo,) multiplier (modulation mask)."""
+    ph/pw absolute f32 positions; rows local to the window starting at row
+    r0, cols local to the window starting at col c0 (width ic, 8-aligned).
+    w_valid: logical grid width (absolute bound). extra: optional (OC,)
+    multiplier (modulation mask)."""
     wo = ph.shape[0]
     h0 = jnp.floor(ph)
     w0 = jnp.floor(pw)
     dh = ph - h0
     dw = pw - w0
-    n = n_cells_rows * w_stride
+    n = n_cells_rows * ic
     iota = jax.lax.broadcasted_iota(jnp.int32, (wo, n), 1)
     m = jnp.zeros((wo, n), dtype)
     for a, b in _corner_tables():
         hi = h0.astype(jnp.int32) + a - r0
         wi = w0.astype(jnp.int32) + b
         valid_w = (wi >= 0) & (wi < w_valid)
-        idx = jnp.where(valid_w, hi * w_stride + wi, -1)
+        idx = jnp.where(valid_w, hi * ic + (wi - c0), -1)
         wt = _weights(dh, dw, a, b, mode)
         if extra is not None:
             wt = wt * extra
@@ -147,54 +180,68 @@ def _build_m(ph, pw, r0, w_valid, w_stride, n_cells_rows, mode, extra=None,
 
 
 def _sample_kernel(offs_ref, mask_ref, x_hbm, out_ref, patch, sem,
-                   *, stride, pad, r, H, W, W8, rows):
+                   *, stride, pad, r, H, W, W8, rows, oc, ic):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    o0 = pl.program_id(2) * oc
     r0 = jnp.clip(i * stride - pad - r - 1, 0, H - rows)
-    pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(r0, rows)], patch, sem
-    ).start()
-    offs = offs_ref[0, 0]          # (Wo, 18) f32
-    pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(r0, rows)], patch, sem
-    ).wait()
-    pf = patch[:].reshape(rows * W8, x_hbm.shape[-1])
+    # sublane-dim DMA offsets must be 8-aligned: floor to 8 (patch_cols
+    # carries the matching slack)
+    c0 = jnp.clip((o0 * stride - pad - r - 1) // 8, 0, (W8 - ic) // 8) * 8
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(r0, rows), pl.ds(c0, ic)], patch, sem)
+    cp.start()
+    offs = offs_ref[0, 0]          # (OC, 18) f32
+    cp.wait()
+    pf = patch[:].reshape(rows * ic, x_hbm.shape[-1])
+    C = x_hbm.shape[-1]
     for k in range(9):
-        ph, pw = _tap_geometry(i, offs, k, stride, pad, r, W)
+        ph, pw = _tap_geometry(i, o0, offs, k, stride, pad, r)
         extra = mask_ref[0, 0][:, k] if mask_ref is not None else None
-        m = _build_m(ph, pw, r0, W, W8, rows, "w", extra, dtype=pf.dtype)
-        out_ref[0, 0, k] = jnp.dot(
+        m = _build_m(ph, pw, r0, c0, W, ic, rows, "w", extra, dtype=pf.dtype)
+        out_ref[0, 0, :, k * C:(k + 1) * C] = jnp.dot(
             m, pf, preferred_element_type=jnp.float32
         ).astype(out_ref.dtype)
 
 
 def dcn_sample(x, offset18, mask9, *, stride=2, padding=1, max_offset=5,
                interpret=False):
-    """K1: masked bilinear tap sampling. Returns (B, Ho, 9, Wo, C)."""
+    """K1: masked bilinear tap sampling. Returns (B, Ho, Wo, 9*C) —
+    tap-major lanes, so the weight contraction around the kernel is a
+    PLAIN last-dim matmul (the earlier (B,Ho,9,Wo,C) layout made XLA
+    relayout the 75 MB tap tensor around every einsum — 22 ms/step of
+    copies in the r3 profile)."""
     B, H, W, C = x.shape
     W8 = -(-W // 8) * 8  # Mosaic DMA slices need 8-aligned sublane extents
     if W8 != W:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, W8 - W), (0, 0)))
     Ho, Wo = offset18.shape[1], offset18.shape[2]
     rows = patch_rows(max_offset)
+    offset18, wop = _pad_wo(offset18, Wo)
+    mask9, _ = _pad_wo(mask9, Wo)
+    oc = wop  # full-width chunk: OC<wop cut window FLOPs ~3x but 6x'd the
+    # number of small MXU dots — measured NET LOSS (PERF.md r3); the
+    # chunking machinery stays for shapes where Wo is large
+    ic = min(patch_cols(oc, max_offset, stride), W8)
 
     def kernel(offs_ref, mask_ref, x_hbm, out_ref, patch, sem):
         _sample_kernel(offs_ref, mask_ref, x_hbm, out_ref, patch, sem,
                        stride=stride, pad=padding, r=max_offset, H=H, W=W,
-                       W8=W8, rows=rows)
+                       W8=W8, rows=rows, oc=oc, ic=ic)
 
     return pl.pallas_call(
         kernel,
-        grid=(B, Ho),
+        grid=(B, Ho, wop // oc),
         in_specs=[
-            pl.BlockSpec((1, 1, Wo, 18), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, 1, Wo, 9), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, oc, 18), lambda b, i, o: (b, i, o, 0)),
+            pl.BlockSpec((1, 1, oc, 9), lambda b, i, o: (b, i, o, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, 9, Wo, C), lambda b, i: (b, i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Ho, 9, Wo, C), x.dtype),
+        out_specs=pl.BlockSpec(
+            (1, 1, oc, 9 * C), lambda b, i, o: (b, i, o, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, wop, 9 * C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows, W8, C), x.dtype),
+            pltpu.VMEM((rows, ic, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=_COMPILER_PARAMS,
@@ -203,64 +250,71 @@ def dcn_sample(x, offset18, mask9, *, stride=2, padding=1, max_offset=5,
 
 
 def _offgrad_kernel(offs_ref, dsm_ref, x_hbm, out_ref, patch, sem,
-                    *, stride, pad, r, H, W, W8, rows):
+                    *, stride, pad, r, H, W, W8, rows, oc, ic):
     """K2 (fused): per-tap P = dsm @ patchᵀ once, then the two derivative
     one-hot matrices reduce ELEMENTWISE against P — halves the K2 MXU work
     vs materializing unmasked derivative sample tensors (and removes their
     (B,Ho,2,9,Wo,C) HBM round-trip entirely)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
+    o0 = pl.program_id(2) * oc
     r0 = jnp.clip(i * stride - pad - r - 1, 0, H - rows)
-    pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(r0, rows)], patch, sem
-    ).start()
-    offs = offs_ref[0, 0]          # (Wo, 18) f32
-    pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(r0, rows)], patch, sem
-    ).wait()
-    pf = patch[:].reshape(rows * W8, x_hbm.shape[-1])
+    c0 = jnp.clip((o0 * stride - pad - r - 1) // 8, 0, (W8 - ic) // 8) * 8
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(r0, rows), pl.ds(c0, ic)], patch, sem)
+    cp.start()
+    offs = offs_ref[0, 0]          # (OC, 18) f32
+    cp.wait()
+    pf = patch[:].reshape(rows * ic, x_hbm.shape[-1])
+    C = x_hbm.shape[-1]
     for k in range(9):
-        ph, pw = _tap_geometry(i, offs, k, stride, pad, r, W)
-        dsm_k = dsm_ref[0, 0, k]   # (Wo, C)
+        ph, pw = _tap_geometry(i, o0, offs, k, stride, pad, r)
+        dsm_k = dsm_ref[0, 0][:, k * C:(k + 1) * C]   # (OC, C)
         p = jax.lax.dot_general(
             dsm_k, pf, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                           # (Wo, rows*W8)
-        mh = _build_m(ph, pw, r0, W, W8, rows, "dh", dtype=jnp.float32)
-        mw = _build_m(ph, pw, r0, W, W8, rows, "dw", dtype=jnp.float32)
-        out_ref[0, 0, 2 * k] = jnp.sum(mh * p, axis=1).astype(out_ref.dtype)
-        out_ref[0, 0, 2 * k + 1] = jnp.sum(mw * p, axis=1).astype(out_ref.dtype)
+        )                           # (OC, rows*ic)
+        mh = _build_m(ph, pw, r0, c0, W, ic, rows, "dh", dtype=jnp.float32)
+        mw = _build_m(ph, pw, r0, c0, W, ic, rows, "dw", dtype=jnp.float32)
+        # output layout (OC, 18): lane dim 18 == full array dim (Mosaic
+        # block rule) — also drops the (B,Ho,18,Wo) transpose at the caller
+        out_ref[0, 0, :, 2 * k] = jnp.sum(mh * p, axis=1).astype(out_ref.dtype)
+        out_ref[0, 0, :, 2 * k + 1] = jnp.sum(mw * p, axis=1).astype(out_ref.dtype)
 
 
 def dcn_offset_grad(x, offset18, dsm, *, stride=2, padding=1, max_offset=5,
                     interpret=False):
-    """K2: offset gradients (B, Ho, 18, Wo) f32 from the mask-folded
-    dsampled (B, Ho, 9, Wo, C); channel 2k = dΔy of tap k, 2k+1 = dΔx
-    (offset18 layout). Clamp pass-through applied by the caller."""
+    """K2: offset gradients (B, Ho, WoP, 18) f32 from the mask-folded
+    dsampled (B, Ho, WoP, 9*C) (WoP = Wo padded to OC); channel 2k = dΔy of
+    tap k, 2k+1 = dΔx. Clamp pass-through applied by the caller."""
     B, H, W, C = x.shape
     W8 = -(-W // 8) * 8
     if W8 != W:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, W8 - W), (0, 0)))
     Ho, Wo = offset18.shape[1], offset18.shape[2]
     rows = patch_rows(max_offset)
+    offset18, wop = _pad_wo(offset18, Wo)
+    assert dsm.shape[2] == wop, (dsm.shape, wop)  # caller works padded
+    oc = wop  # full-width chunk (see dcn_sample: chunking measured a loss)
+    ic = min(patch_cols(oc, max_offset, stride), W8)
 
     def kernel(offs_ref, dsm_ref, x_hbm, out_ref, patch, sem):
         _offgrad_kernel(offs_ref, dsm_ref, x_hbm, out_ref, patch, sem,
                         stride=stride, pad=padding, r=max_offset, H=H, W=W,
-                        W8=W8, rows=rows)
+                        W8=W8, rows=rows, oc=oc, ic=ic)
 
     return pl.pallas_call(
         kernel,
-        grid=(B, Ho),
+        grid=(B, Ho, wop // oc),
         in_specs=[
-            pl.BlockSpec((1, 1, Wo, 18), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, 1, 9, Wo, C), lambda b, i: (b, i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, oc, 18), lambda b, i, o: (b, i, o, 0)),
+            pl.BlockSpec((1, 1, oc, 9 * C), lambda b, i, o: (b, i, o, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, 18, Wo), lambda b, i: (b, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Ho, 18, Wo), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, oc, 18), lambda b, i, o: (b, i, o, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, wop, 18), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rows, W8, C), x.dtype),
+            pltpu.VMEM((rows, ic, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=_COMPILER_PARAMS,
@@ -269,82 +323,101 @@ def dcn_offset_grad(x, offset18, dsm, *, stride=2, padding=1, max_offset=5,
 
 
 def _grad_kernel(offs_hbm, dsm_hbm, out_ref, dsm_buf, offs_buf, acc, sem,
-                 *, stride, pad, r, H, W, W8, Ho, Wo8, C, rows):
+                 sem2, *, stride, pad, r, H, W, Ho, Wo8, C, rows, gc, woc):
     b = pl.program_id(0)
     j = pl.program_id(1)
     h_base = j * GRAD_IR
+    c_base = pl.program_id(2) * gc
     r0o = jnp.clip((h_base - r - 5) // stride, 0, Ho - rows)
+    # sublane-dim DMA offsets must be 8-aligned: floor to 8 (woc carries
+    # the matching slack)
+    w0o = jnp.clip((c_base - r - 2) // stride // 8, 0, (Wo8 - woc) // 8) * 8
     pltpu.make_async_copy(
-        offs_hbm.at[b, pl.ds(r0o, rows)], offs_buf, sem,
+        offs_hbm.at[b, pl.ds(r0o, rows), pl.ds(w0o, woc)], offs_buf, sem,
     ).start()
-    acc[:] = jnp.zeros((GRAD_IR * W8, C), jnp.float32)
+    # ONE DMA of the tap-major dsm window (rows, woc, 9C) reused by all 9
+    # taps (lane slices) — was 9 per-tap DMAs in the (B,Ho,9,Wo,C) layout
     pltpu.make_async_copy(
-        offs_hbm.at[b, pl.ds(r0o, rows)], offs_buf, sem,
+        dsm_hbm.at[b, pl.ds(r0o, rows), pl.ds(w0o, woc)], dsm_buf, sem2,
+    ).start()
+    acc[:] = jnp.zeros((GRAD_IR * gc, C), jnp.float32)
+    pltpu.make_async_copy(
+        offs_hbm.at[b, pl.ds(r0o, rows), pl.ds(w0o, woc)], offs_buf, sem,
     ).wait()
-    offs = offs_buf[:]  # (rows, Wo8, 128) f32; cols >= Wo / lanes >= 18 are zero-pad
-    n_cells = GRAD_IR * W8
+    pltpu.make_async_copy(
+        dsm_hbm.at[b, pl.ds(r0o, rows), pl.ds(w0o, woc)], dsm_buf, sem2,
+    ).wait()
+    offs = offs_buf[:]  # (rows, woc, 128) f32; cols >= Wo / lanes >= 18 are zero-pad
+    n_cells = GRAD_IR * gc
     # M is built in SUB-row chunks of the output-row window to bound
-    # VMEM; geometry stays (sub, Wo8)-shaped and only the LEADING dims are
+    # VMEM; geometry stays (sub, woc)-shaped and only the LEADING dims are
     # merged before the dot (Mosaic rejects 2D->1D lane-eliminating casts)
     sub = 4  # output rows per chunk
-    n_samp = sub * Wo8
-    iota3 = jax.lax.broadcasted_iota(jnp.int32, (sub, Wo8, n_cells), 2)
-    wo_col = jax.lax.broadcasted_iota(jnp.int32, (sub, Wo8), 1).astype(jnp.float32)
+    n_samp = sub * woc
+    iota3 = jax.lax.broadcasted_iota(jnp.int32, (sub, woc, n_cells), 2)
+    wo_col = jax.lax.broadcasted_iota(jnp.int32, (sub, woc), 1).astype(jnp.float32)
     for k in range(9):
         ki, kj = k // 3, k % 3
-        pltpu.make_async_copy(
-            dsm_hbm.at[b, pl.ds(r0o, rows), k], dsm_buf, sem,
-        ).start()
-        pltpu.make_async_copy(
-            dsm_hbm.at[b, pl.ds(r0o, rows), k], dsm_buf, sem,
-        ).wait()
         for a3 in range(rows // sub):
-            offs_c = offs[a3 * sub:(a3 + 1) * sub]  # (sub, Wo8, 18)
+            offs_c = offs[a3 * sub:(a3 + 1) * sub]  # (sub, woc, 18)
             ho = (
-                jax.lax.broadcasted_iota(jnp.int32, (sub, Wo8), 0).astype(jnp.float32)
+                jax.lax.broadcasted_iota(jnp.int32, (sub, woc), 0).astype(jnp.float32)
                 + (r0o + a3 * sub).astype(jnp.float32)
             )
             dy = jnp.clip(offs_c[:, :, 2 * k], -r, r)
             dx = jnp.clip(offs_c[:, :, 2 * k + 1], -r, r)
             ph = (ho * stride - pad + ki) + dy
-            pw = (wo_col * stride - pad + kj) + dx
+            pw = ((w0o.astype(jnp.float32) + wo_col) * stride - pad + kj) + dx
             h0 = jnp.floor(ph)
             w0 = jnp.floor(pw)
             dh = ph - h0
             dw = pw - w0
             h0i = h0.astype(jnp.int32)
             w0i = w0.astype(jnp.int32)
-            m3 = jnp.zeros((sub, Wo8, n_cells), jnp.float32)
+            m3 = jnp.zeros((sub, woc, n_cells), jnp.float32)
             for a, bb in _corner_tables():
                 hi = h0i + a - h_base
                 wi = w0i + bb
-                valid = (hi >= 0) & (hi < GRAD_IR) & (wi >= 0) & (wi < W)
-                idx = jnp.where(valid, hi * W8 + wi, -1)
+                wl = wi - c_base
+                valid = ((hi >= 0) & (hi < GRAD_IR) & (wi >= 0) & (wi < W)
+                         & (wl >= 0) & (wl < gc))
+                idx = jnp.where(valid, hi * gc + wl, -1)
                 wt = _weights(dh, dw, a, bb, "w")
                 m3 = m3 + wt[..., None] * (
                     idx[..., None] == iota3).astype(jnp.float32)
             m = m3.reshape(n_samp, n_cells)
-            ds_flat = dsm_buf[a3 * sub:(a3 + 1) * sub].reshape(n_samp, C)
+            ds_flat = dsm_buf[
+                a3 * sub:(a3 + 1) * sub, :, k * C:(k + 1) * C
+            ].reshape(n_samp, C)
             acc[:] = acc[:] + jax.lax.dot_general(
                 m.astype(ds_flat.dtype), ds_flat,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    out_ref[0] = acc[:].reshape(GRAD_IR, W8, C).astype(out_ref.dtype)
+    out_ref[0] = acc[:].reshape(GRAD_IR, gc, C).astype(out_ref.dtype)
 
 
 def dcn_input_grad(dsm, offset18, H, W, *, stride=2, padding=1, max_offset=5,
                    interpret=False):
-    """K3: dX (B, H, W, C) from mask-folded dsampled (B, Ho, 9, Wo, C).
+    """K3: dX (B, H, W, C) from mask-folded dsampled (B, Ho, Wo, 9*C).
 
     Full-width input-row blocks; all DMA'd sublane extents are padded to
     multiples of 8 (Mosaic alignment): dsm/offsets in Wo, the dX output in W
     (sliced back outside). Zero-padded sample rows contribute zeros."""
-    B, Ho, _, Wo, C = dsm.shape
+    B, Ho, Wo, C9 = dsm.shape
+    C = C9 // 9
+    if offset18.shape[2] != Wo:  # dsm arrives in the OC-padded Wo domain
+        offset18 = jnp.pad(
+            offset18, ((0, 0), (0, 0), (0, Wo - offset18.shape[2]), (0, 0)))
     Wo8 = -(-Wo // 8) * 8
-    W8 = -(-W // 8) * 8
+    # input-col blocks (the K3 FLOP lever — see patch_cols): n_cells shrinks
+    # from GRAD_IR·W8 to GRAD_IR·GC and the output-col window from Wo8 to
+    # WOC, quadratically cutting the one-hot matmul work per block
+    GC = -(-W // 8) * 8  # full-width col block (chunking measured a loss)
+    Wp = GC
+    woc = min(_round8((GC + 2 * max_offset + 4) // stride + 10), Wo8)
     if Wo8 != Wo:
-        dsm = jnp.pad(dsm, ((0, 0), (0, 0), (0, 0), (0, Wo8 - Wo), (0, 0)))
+        dsm = jnp.pad(dsm, ((0, 0), (0, 0), (0, Wo8 - Wo), (0, 0)))
         offset18 = jnp.pad(
             offset18, ((0, 0), (0, 0), (0, Wo8 - Wo), (0, 0)))
     # lane dim of a DMA'd operand must be 128-aligned (Mosaic): 18 -> 128
@@ -352,26 +425,27 @@ def dcn_input_grad(dsm, offset18, H, W, *, stride=2, padding=1, max_offset=5,
 
     rows = grad_rows(max_offset)
 
-    def kernel(offs_hbm, dsm_hbm, out_ref, dsm_buf, offs_buf, acc, sem):
+    def kernel(offs_hbm, dsm_hbm, out_ref, dsm_buf, offs_buf, acc, sem, sem2):
         _grad_kernel(offs_hbm, dsm_hbm, out_ref, dsm_buf, offs_buf, acc, sem,
-                     stride=stride, pad=padding, r=max_offset,
-                     H=H, W=W, W8=W8, Ho=Ho, Wo8=Wo8, C=C, rows=rows)
+                     sem2, stride=stride, pad=padding, r=max_offset,
+                     H=H, W=W, Ho=Ho, Wo8=Wo8, C=C, rows=rows, gc=GC, woc=woc)
 
     dx = pl.pallas_call(
         kernel,
-        grid=(B, H // GRAD_IR),
+        grid=(B, H // GRAD_IR, Wp // GC),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, GRAD_IR, W8, C), lambda b, j: (b, j, 0, 0)
+            (1, GRAD_IR, GC, C), lambda b, j, w: (b, j, w, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, W8, C), dsm.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, Wp, C), dsm.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows, Wo8, C), dsm.dtype),
-            pltpu.VMEM((rows, Wo8, 128), jnp.float32),
-            pltpu.VMEM((GRAD_IR * W8, C), jnp.float32),
+            pltpu.VMEM((rows, woc, 9 * C), dsm.dtype),
+            pltpu.VMEM((rows, woc, 128), jnp.float32),
+            pltpu.VMEM((GRAD_IR * GC, C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=_COMPILER_PARAMS,
@@ -416,14 +490,19 @@ def _prep(offset, mask):
 
 def _mdcn_fwd(x, offset, mask, weight, stride, padding, max_offset, interpret):
     offset18, mask9 = _prep(offset, mask)
+    Wo = offset.shape[2]
+    # sampled is tap-major lanes (B, Ho, WoP, 9C): the contraction is a
+    # plain last-dim matmul — no relayout of the 9-tap tensor anywhere; the
+    # whole pipeline (fwd + bwd kernels) works in the OC-padded Wo domain,
+    # slicing only at the y/grad boundaries (padded cols are exact zeros)
     sampled = dcn_sample(x, offset18, mask9, stride=stride, padding=padding,
                          max_offset=max_offset, interpret=interpret)
     k = weight.shape[0]
-    w9 = weight.reshape(k * k, weight.shape[2], weight.shape[3])
+    w9c = weight.reshape(k * k * weight.shape[2], weight.shape[3])  # (9C, Co)
     y = jnp.einsum(
-        "bhkwc,kco->bhwo", sampled, w9.astype(sampled.dtype),
+        "bhwK,Ko->bhwo", sampled, w9c.astype(sampled.dtype),
         preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    ).astype(x.dtype)[:, :, :Wo]
     return y, (x, offset, mask, weight, sampled)
 
 
@@ -431,36 +510,44 @@ def _mdcn_bwd(stride, padding, max_offset, interpret, res, dy):
     x, offset, mask, weight, sampled = res
     offset18, mask9 = _prep(offset, mask)
     B, Ho, Wo = offset.shape[:3]
+    wop = sampled.shape[2]
     k = weight.shape[0]
     ci, co = weight.shape[2], weight.shape[3]
-    w9 = weight.reshape(k * k, ci, co)
+    w9c = weight.reshape(k * k * ci, co)
+    dy = jnp.pad(dy, ((0, 0), (0, 0), (0, wop - Wo), (0, 0)))
+    mask9p, _ = _pad_wo(mask9, Wo)
 
     dw9 = jnp.einsum(
-        "bhkwc,bhwo->kco", sampled, dy, preferred_element_type=jnp.float32
+        "bhwK,bhwo->Ko", sampled, dy, preferred_element_type=jnp.float32
     ).astype(weight.dtype)
     dweight = dw9.reshape(weight.shape)
 
     dsampled = jnp.einsum(
-        "bhwo,kco->bhkwc", dy, w9.astype(dy.dtype),
+        "bhwo,Ko->bhwK", dy, w9c.astype(dy.dtype),
         preferred_element_type=jnp.float32,
     ).astype(sampled.dtype)
 
-    # dmask: sampled = mask * s_unmasked (mask = sigmoid > 0)
-    mask_k = mask9.transpose(0, 1, 3, 2)  # (B, Ho, 9, Wo)
-    prod = jnp.sum(
-        dsampled.astype(jnp.float32) * sampled.astype(jnp.float32), axis=-1
-    )
-    dmask_k = prod / jnp.maximum(mask_k, 1e-6)
-    dmask = dmask_k.transpose(0, 1, 3, 2).reshape(mask.shape).astype(mask.dtype)
+    # dmask: sampled = mask * s_unmasked (mask = sigmoid > 0). The per-tap
+    # channel reduce runs as a block-selector MATMUL — reshaping the 75 MB
+    # (…, 9C) tensor to (…, 9, C) splits the LANE dim and XLA relayouts it
+    # (measured: the two reshapes here put 16 ms/step of copies back)
+    sel = jnp.repeat(jnp.eye(9, dtype=jnp.float32), ci, axis=0)  # (9C, 9)
+    prod = jnp.einsum(
+        "bhwK,Kt->bhwt",
+        dsampled.astype(jnp.float32) * sampled.astype(jnp.float32), sel,
+        preferred_element_type=jnp.float32)[:, :, :Wo]
+    dmask = (prod / jnp.maximum(mask9, 1e-6)).reshape(mask.shape).astype(
+        mask.dtype)
 
-    # doffset via the fused K2 kernel (P = dsm @ patchT once per tap)
-    dsm = dsampled * mask_k[..., None].astype(dsampled.dtype)
+    # doffset via the fused K2 kernel (P = dsm @ patchT once per tap);
+    # the mask expands to lanes via repeat of the SMALL tensor (fuses)
+    dsm = dsampled * jnp.repeat(mask9p, ci, axis=-1).astype(dsampled.dtype)
     g18 = dcn_offset_grad(x, offset18, dsm, stride=stride, padding=padding,
                           max_offset=max_offset, interpret=interpret)
     # clamp pass-through: zero gradient where |Δ| exceeded the window
     in_win = (jnp.abs(offset18) <= max_offset).astype(jnp.float32)
     doffset = (
-        (g18.transpose(0, 1, 3, 2) * in_win)
+        (g18[:, :, :Wo] * in_win)
         .reshape(offset.shape).astype(offset.dtype)
     )
 
