@@ -384,6 +384,7 @@ class S2DDownBlockPacked(nn.Module):
     features: int
     dtype: Any = None
     int8: bool = False
+    int8_static: bool = False
 
     @nn.compact
     def __call__(self, x_packed, mask, train):
@@ -392,6 +393,20 @@ class S2DDownBlockPacked(nn.Module):
         new_mask = max_pool_mask(mask, 3, 2, 1)   # original-resolution bookkeeping
         new_mask_p = pack_mask(new_mask)
         k, _ = _ConvScope(self.cin, self.features, False, name="conv")()
+        bn = PackedMaskedBatchNorm(self.features, dtype=self.dtype, name="bn")
+        if self.int8_static and not train:
+            # packed->packed stride-2 link: XLA int8 conv + fused affine,
+            # requant into the next packed stage's int8 carry
+            from .layers import int8_conv_affine, int8_qkernel, q8
+
+            kq, sw = int8_qkernel(pack_down_kernel_packed_out(
+                k.astype(jnp.float32), self.cin, self.features))
+            gt, sh, bnd = bn(None, new_mask_p, False, affine=True)
+            y = int8_conv_affine(x_packed, kq, sw, None, gt, sh, 2,
+                                 ((1, 1), (1, 1)))
+            mf = _phase_mask_flat(new_mask_p, self.features)
+            y = nn.relu(y) * mf.astype(jnp.float32)
+            return (q8(y, bnd, 127.0), bnd, 127.0), new_mask, new_mask_p
         dt = self.dtype or x_packed.dtype
         if self.int8:
             kp = pack_down_kernel_packed_out(k, self.cin, self.features)
@@ -399,9 +414,7 @@ class S2DDownBlockPacked(nn.Module):
         else:
             kp = pack_down_kernel_packed_out(k.astype(dt), self.cin, self.features)
             y = _conv(x_packed.astype(dt), kp, ((1, 1), (1, 1)), stride=2)
-        y = PackedMaskedBatchNorm(self.features, dtype=self.dtype, name="bn")(
-            y, new_mask_p, train
-        )
+        y = bn(y, new_mask_p, train)
         y = nn.relu(y)
         y = y * _phase_mask_flat(new_mask_p, self.features).astype(y.dtype)
         return y, new_mask, new_mask_p
@@ -453,7 +466,6 @@ class PillarRes18BackBone8xS2D(nn.Module):
         if qs:
             from .layers import deq8, q8
 
-            assert not self.pack_stage2, "int8_static covers the shipped path"
             # stage-entry quantization: ONE dynamic abs-max — over the
             # COMPACT table when available (dense cells are gathered table
             # rows or zeros, so max|table| >= max|dense| is a valid bound at
@@ -476,15 +488,18 @@ class PillarRes18BackBone8xS2D(nn.Module):
         x1p = S2DBasicBlock(32, self.dtype, int8=q, int8_static=qs, name="conv1_1")(x, mask_p, train)
 
         if self.pack_stage2:
-            # conv2: packed->packed down + 2 packed blocks at (360², 256)
-            x, mask2, mask2_p = S2DDownBlockPacked(32, 64, self.dtype, int8=q, name="conv2_down")(
-                x1p, mask, train
-            )
-            x = S2DBasicBlock(64, self.dtype, int8=q, name="conv2_0")(x, mask2_p, train)
-            x2p = S2DBasicBlock(64, self.dtype, int8=q, name="conv2_1")(x, mask2_p, train)
+            # conv2: packed->packed down + 2 packed blocks at (360², 256).
+            # Under int8_static the whole stage stays in the int8 chain
+            # (the Pallas block kernel runs C=256 / N=768 here) and the
+            # chain terminates in conv3_down.
+            x, mask2, mask2_p = S2DDownBlockPacked(
+                32, 64, self.dtype, int8=q, int8_static=qs, name="conv2_down"
+            )(x1p, mask, train)
+            x = S2DBasicBlock(64, self.dtype, int8=q, int8_static=qs, name="conv2_0")(x, mask2_p, train)
+            x2p = S2DBasicBlock(64, self.dtype, int8=q, int8_static=qs, name="conv2_1")(x, mask2_p, train)
             x2 = None
             # conv3_down consumes the packed stage-2 grid (2×2 packed kernel)
-            x, mask3 = S2DDownBlock(64, 128, self.dtype, int8=q, name="conv3_down")(x2p, mask2, train)
+            x, mask3 = S2DDownBlock(64, 128, self.dtype, int8=q, int8_static=qs, name="conv3_down")(x2p, mask2, train)
         else:
             # conv2: packed down + 2 dense-grid blocks at 720². The int8
             # chain covers stage 1 (the Pallas fused links at C=128) and
@@ -520,11 +535,11 @@ class PillarRes18BackBone8xS2D(nn.Module):
         }
         if self.unpack_outputs:
             out["x_conv1"] = depth_to_space(dq(x1p), 32)
-            out["x_conv2"] = depth_to_space(x2p, 64) if x2 is None else x2
+            out["x_conv2"] = depth_to_space(dq(x2p), 64) if x2 is None else x2
         else:
             out["x_conv1_packed"] = dq(x1p)
             if x2 is None:
-                out["x_conv2_packed"] = x2p
+                out["x_conv2_packed"] = dq(x2p)
             else:
                 out["x_conv2"] = x2
         return out

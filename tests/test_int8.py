@@ -71,10 +71,15 @@ def test_int8_s2d_matches_dense_int8_tree():
     assert flat_d == flat_s
 
 
-def test_int8_static_chain_close_to_f32():
+import pytest
+
+
+@pytest.mark.parametrize("pack_stage2", [False, True])
+def test_int8_static_chain_close_to_f32(pack_stage2):
     """Static chain (BN-derived bounds, int8 activations between convs):
     same checkpoint, bounded feature error, train-mode falls back to float
-    exactly.
+    exactly. pack_stage2=True extends the Pallas chain through the packed
+    stage-2 (360-class grid, C=256 / N=768 links).
 
     The analytic bound max(|β| + K|γ|) describes post-BN activations when
     the running statistics describe the data — true for any trained/frozen
@@ -83,8 +88,9 @@ def test_int8_static_chain_close_to_f32():
     therefore adapts the running stats to the input first (the float path
     is unaffected by stats scale)."""
     bev, mask = _inputs(seed=3)
-    m_f = PillarRes18BackBone8xS2D(dtype=jnp.float32)
-    m_q = PillarRes18BackBone8xS2D(dtype=jnp.float32, int8_static=True)
+    m_f = PillarRes18BackBone8xS2D(dtype=jnp.float32, pack_stage2=pack_stage2)
+    m_q = PillarRes18BackBone8xS2D(dtype=jnp.float32, int8_static=True,
+                                   pack_stage2=pack_stage2)
     v = m_f.init(jax.random.PRNGKey(0), bev, mask, False)
     assert jax.tree.structure(m_q.init(
         jax.random.PRNGKey(0), bev, mask, False)) == jax.tree.structure(v)
