@@ -340,6 +340,7 @@ class S2DDownBlock(nn.Module):
     dtype: Any = None
     int8: bool = False
     int8_static: bool = False
+    int8_carry: bool = False   # keep the chain int8 into the next stage
 
     @nn.compact
     def __call__(self, x_packed, mask, train):
@@ -351,6 +352,19 @@ class S2DDownBlock(nn.Module):
         k, _ = _ConvScope(self.cin, self.features, False, name="conv")()
         bn = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE,
                              dtype=self.dtype, name="bn")
+        if self.int8_static and not train and self.int8_carry:
+            # chain CONTINUES (INT8_STAGES >= 2): the 2x2 packed-grid down
+            # conv runs as the fused Pallas link, emitting the stage-2 int8
+            # carry (backbone_sparse2d.SparseBasicBlock consumes it)
+            from .backbone_sparse2d import _lane_mask_q
+            from ..ops.pallas_int8_conv import int8_block_conv
+
+            kq, sw = int8_qkernel(pack_down_kernel(
+                k.astype(jnp.float32), self.cin, self.features))
+            gt, sh, bnd_o = bn(kq, new_mask, False, affine=True)
+            mq = _lane_mask_q(new_mask, self.features)
+            return int8_block_conv(
+                x_packed, kq, sw, None, gt, sh, bnd_o, mq), new_mask
         if self.int8_static and not train:
             # chain TERMINUS: consume the int8 carry with one XLA int8 conv
             # and return FLOAT — stage 2 runs the float path (the stage-2
@@ -437,6 +451,13 @@ class PillarRes18BackBone8xS2D(nn.Module):
     # (layers.py int8 narrative); eval/frozen forward only — train falls
     # back to float. Same checkpoint layout (bounds are derived, not stored).
     int8_static: bool = False
+    # how deep the static chain runs: 1 = stage 1 only (terminates in the
+    # conv2_down XLA link); 2..5 extend it through the later stages as fused
+    # Pallas links — strided downs run as 2x2 convs on the space-to-depth
+    # packing of the int8 carry, the x_conv3/4/5 taps dequantize on exit.
+    # (The r3 "packed stage-2 int8 loses" result was the PACKED-subm 4x-FLOP
+    # formulation + XLA links; this chain keeps stages 2+ UNPACKED.)
+    int8_stages: int = 1
     # table input: consume the sparse VFE's (table, uids) directly and
     # densify straight INTO the packed layout (ops/active_site.py
     # densify_packed) — the dense stride-1 grid never exists in unpacked
@@ -487,6 +508,13 @@ class PillarRes18BackBone8xS2D(nn.Module):
         x = S2DBasicBlock(32, self.dtype, int8=q, int8_static=qs, name="conv1_0")(x, mask_p, train)
         x1p = S2DBasicBlock(32, self.dtype, int8=q, int8_static=qs, name="conv1_1")(x, mask_p, train)
 
+        # chain depth flags (pack_stage2 keeps its own stage-2 handling)
+        stages = 1 if self.pack_stage2 else self.int8_stages
+        qs2 = qs and stages >= 2
+        qs3 = qs and stages >= 3
+        qs4 = qs and stages >= 4
+        qs5 = qs and stages >= 5
+
         if self.pack_stage2:
             # conv2: packed->packed down + 2 packed blocks at (360², 256).
             # Under int8_static the whole stage stays in the int8 chain
@@ -501,33 +529,65 @@ class PillarRes18BackBone8xS2D(nn.Module):
             # conv3_down consumes the packed stage-2 grid (2×2 packed kernel)
             x, mask3 = S2DDownBlock(64, 128, self.dtype, int8=q, int8_static=qs, name="conv3_down")(x2p, mask2, train)
         else:
-            # conv2: packed down + 2 dense-grid blocks at 720². The int8
-            # chain covers stage 1 (the Pallas fused links at C=128) and
-            # TERMINATES in the conv2_down link — stage-2's C=64 shapes are
-            # lane-padded for int8 tiles and the XLA-expressed chain loses
-            # to bf16 there (PERF.md r3); fewer requant hops also keeps the
-            # feature error at the single-stage level.
-            x, mask2 = S2DDownBlock(32, 64, self.dtype, int8=q, int8_static=qs, name="conv2_down")(x1p, mask, train)
-            x = SparseBasicBlock(64, self.dtype, int8=q, name="conv2_0")(x, mask2, train)
-            x2 = SparseBasicBlock(64, self.dtype, int8=q, name="conv2_1")(x, mask2, train)
+            # conv2: packed down + 2 dense-grid blocks at 720². With
+            # INT8_STAGES=1 the chain TERMINATES in the conv2_down link and
+            # stage 2+ runs float; with INT8_STAGES >= 2 the chain continues
+            # UNPACKED through the later stages as fused Pallas links.
+            x, mask2 = S2DDownBlock(
+                32, 64, self.dtype, int8=q, int8_static=qs, int8_carry=qs2,
+                name="conv2_down")(x1p, mask, train)
+            x = SparseBasicBlock(64, self.dtype, int8=q, int8_static=qs2, name="conv2_0")(x, mask2, train)
+            x2c = SparseBasicBlock(64, self.dtype, int8=q, int8_static=qs2, name="conv2_1")(x, mask2, train)
+            x2 = dq(x2c) if qs2 else x2c
             x2p = None
 
-            # conv3 (float from here)
-            x, mask3 = SparseDownBlock(128, self.dtype, int8=q, name="conv3_down")(x2, mask2, train)
-        x = SparseBasicBlock(128, self.dtype, int8=q, name="conv3_0")(x, mask3, train)
-        x3 = SparseBasicBlock(128, self.dtype, int8=q, name="conv3_1")(x, mask3, train)
+            # conv3 (int8 chain if INT8_STAGES >= 3, else float from here)
+            x, mask3 = SparseDownBlock(
+                128, self.dtype, int8=q, int8_static=qs2, int8_carry=qs3,
+                name="conv3_down")(x2c, mask2, train)
+        x = SparseBasicBlock(128, self.dtype, int8=q, int8_static=qs3, name="conv3_0")(x, mask3, train)
+        x3c = SparseBasicBlock(128, self.dtype, int8=q, int8_static=qs3, name="conv3_1")(x, mask3, train)
+        x3 = dq(x3c) if qs3 else x3c
 
         # conv4
-        x, mask4 = SparseDownBlock(256, self.dtype, int8=q, name="conv4_down")(x3, mask3, train)
-        x = SparseBasicBlock(256, self.dtype, int8=q, name="conv4_0")(x, mask4, train)
-        x4 = SparseBasicBlock(256, self.dtype, int8=q, name="conv4_1")(x, mask4, train)
+        x, mask4 = SparseDownBlock(
+            256, self.dtype, int8=q, int8_static=qs3, int8_carry=qs4,
+            name="conv4_down")(x3c, mask3, train)
+        x = SparseBasicBlock(256, self.dtype, int8=q, int8_static=qs4, name="conv4_0")(x, mask4, train)
+        x4c = SparseBasicBlock(256, self.dtype, int8=q, int8_static=qs4, name="conv4_1")(x, mask4, train)
+        x4 = dq(x4c) if qs4 else x4c
 
         # conv5: dense stride-2 stage
-        x = Conv2dTorch(256, 3, 2, 1, use_bias=False, dtype=self.dtype, int8=q, name="conv5_down_conv")(x4)
-        x = BatchNormTorch(BN_EPS_BACKBONE, BN_MOM_BACKBONE, dtype=self.dtype, name="conv5_down_bn")(x, train)
-        x = nn.relu(x)
-        x = DenseBasicBlock(256, self.dtype, int8=q, name="conv5_0")(x, train)
-        x5 = DenseBasicBlock(256, self.dtype, int8=q, name="conv5_1")(x, train)
+        if qs5:
+            # stride-2 dense conv as a 2x2 conv on the space-to-depth
+            # packing of the int8 carry; plain (unmasked) eval-BN affine
+            from .layers import int8_qkernel
+
+            x4q, b4, z4 = x4c
+            conv5 = Conv2dTorch(256, 3, 2, 1, use_bias=False,
+                                dtype=self.dtype, name="conv5_down_conv")
+            k5, _ = conv5(x4q, raw=True)
+            kq5, sw5 = int8_qkernel(
+                pack_down_kernel(k5.astype(jnp.float32), 256, 256))
+            bn5 = BatchNormTorch(BN_EPS_BACKBONE, BN_MOM_BACKBONE,
+                                 dtype=self.dtype, name="conv5_down_bn")
+            gt5, sh5, bnd5 = bn5(kq5, False, affine=True)
+            mq5 = jnp.ones(
+                (x4q.shape[0], x4q.shape[1] // 2, x4q.shape[2] // 2, 256),
+                jnp.int8)
+            from ..ops.pallas_int8_conv import int8_block_conv
+
+            x = int8_block_conv(
+                (space_to_depth(x4q), b4, z4), kq5, sw5, None, gt5, sh5,
+                bnd5, mq5)
+            x = DenseBasicBlock(256, self.dtype, int8=q, int8_static=True, name="conv5_0")(x, train)
+            x5 = dq(DenseBasicBlock(256, self.dtype, int8=q, int8_static=True, name="conv5_1")(x, train))
+        else:
+            x = Conv2dTorch(256, 3, 2, 1, use_bias=False, dtype=self.dtype, int8=q, name="conv5_down_conv")(x4)
+            x = BatchNormTorch(BN_EPS_BACKBONE, BN_MOM_BACKBONE, dtype=self.dtype, name="conv5_down_bn")(x, train)
+            x = nn.relu(x)
+            x = DenseBasicBlock(256, self.dtype, int8=q, name="conv5_0")(x, train)
+            x5 = DenseBasicBlock(256, self.dtype, int8=q, name="conv5_1")(x, train)
 
         out = {
             "x_conv3": x3, "x_conv4": x4, "x_conv5": x5,

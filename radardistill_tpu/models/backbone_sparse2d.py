@@ -59,22 +59,53 @@ class SubMConvBlock(nn.Module):
         return y * mask[..., None].astype(y.dtype)
 
 
+def _lane_mask_q(mask, co):
+    """(B,H,W) occupancy -> (B,H,W,co) int8 0/1 — the fused int8 kernel's
+    lane-expanded epilogue mask."""
+    return jnp.broadcast_to(
+        mask[..., None].astype(jnp.int8), (*mask.shape, co))
+
+
 class SparseDownBlock(nn.Module):
     """Strided SparseConv2d + BN1d + ReLU (post_act_block 'spconv').
 
-    Returns (features, dilated mask)."""
+    Returns (features, dilated mask). With ``int8_static`` (frozen-teacher
+    eval chain) the stride-2 conv runs as a 2x2 conv on the space-to-depth
+    packing of the int8 carry (backbone_s2d.pack_down_kernel tap algebra)
+    through the fused Pallas link; ``int8_carry`` keeps the output int8 for
+    the next chained stage, else the link dequantizes (chain terminus)."""
 
     features: int
     dtype: Any = None
     int8: bool = False
+    int8_static: bool = False
+    int8_carry: bool = False
 
     @nn.compact
     def __call__(self, x, mask, train):
         new_mask = max_pool_mask(mask, 3, 2, 1)
-        y = Conv2dTorch(self.features, 3, 2, 1, use_bias=False, dtype=self.dtype, int8=self.int8, name="conv")(x)
-        y = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn")(
-            y, new_mask, train
-        )
+        conv = Conv2dTorch(self.features, 3, 2, 1, use_bias=False, dtype=self.dtype, int8=self.int8, name="conv")
+        bn = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn")
+        if self.int8_static and not train:
+            from .backbone_s2d import pack_down_kernel, space_to_depth
+            from .layers import deq8, int8_qkernel
+            from ..ops.pallas_int8_conv import int8_block_conv
+
+            xq, bnd, zero = x
+            cin = xq.shape[-1]
+            k, _ = conv(xq, raw=True)
+            kq, sw = int8_qkernel(
+                pack_down_kernel(k.astype(jnp.float32), cin, self.features))
+            gt, sh, bnd_o = bn(kq, new_mask, False, affine=True)
+            mq = _lane_mask_q(new_mask, self.features)
+            out = int8_block_conv(
+                (space_to_depth(xq), bnd, zero), kq, sw, None, gt, sh,
+                bnd_o, mq)
+            if self.int8_carry:
+                return out, new_mask
+            return deq8(*out).astype(self.dtype or jnp.float32), new_mask
+        y = conv(x)
+        y = bn(y, new_mask, train)
         y = nn.relu(y)
         return y * new_mask[..., None].astype(y.dtype), new_mask
 
@@ -89,19 +120,35 @@ class SparseBasicBlock(nn.Module):
     features: int
     dtype: Any = None
     int8: bool = False
+    int8_static: bool = False
 
     @nn.compact
     def __call__(self, x, mask, train):
+        conv1 = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv1")
+        bn1 = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn1")
+        conv2 = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv2")
+        bn2 = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn2")
+        if self.int8_static and not train:
+            # frozen-teacher chain: both links as fused Pallas int8 kernels,
+            # residual added on the second link's accumulator (same algebra
+            # as backbone_s2d.S2DBasicBlock's chain path)
+            from ..ops.pallas_int8_conv import int8_block_conv
+
+            xq = x[0]
+            mq = _lane_mask_q(mask, self.features)
+            kq1, sw1, b1 = conv1(xq, qpieces=True)
+            gt1, sh1, bnd1 = bn1(xq, mask, False, affine=True)
+            q1 = int8_block_conv(x, kq1, sw1, b1, gt1, sh1, bnd1, mq)
+            kq2, sw2, b2 = conv2(xq, qpieces=True)
+            gt2, sh2, bnd2 = bn2(xq, mask, False, affine=True)
+            return int8_block_conv(q1, kq2, sw2, b2, gt2, sh2, bnd2, mq,
+                                   res=x)
         m = mask[..., None].astype(x.dtype)
-        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv1")(x)
-        y = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn1")(
-            y, mask, train
-        )
+        y = conv1(x)
+        y = bn1(y, mask, train)
         y = nn.relu(y) * m
-        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv2")(y)
-        y = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn2")(
-            y, mask, train
-        )
+        y = conv2(y)
+        y = bn2(y, mask, train)
         return nn.relu(y + x) * m
 
 
@@ -111,14 +158,34 @@ class DenseBasicBlock(nn.Module):
     features: int
     dtype: Any = None
     int8: bool = False
+    int8_static: bool = False
 
     @nn.compact
     def __call__(self, x, train):
-        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv1")(x)
-        y = BatchNormTorch(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn1")(y, train)
+        conv1 = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv1")
+        bn1 = BatchNormTorch(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn1")
+        conv2 = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv2")
+        bn2 = BatchNormTorch(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn2")
+        if self.int8_static and not train:
+            # frozen-teacher chain at the dense conv5 stage: no sparsity —
+            # the epilogue mask is all-ones (it still kills the kernel's
+            # internal W-pad columns, which pad the mask with 0)
+            from ..ops.pallas_int8_conv import int8_block_conv
+
+            xq = x[0]
+            mq = jnp.ones(xq.shape[:3] + (self.features,), jnp.int8)
+            kq1, sw1, b1 = conv1(xq, qpieces=True)
+            gt1, sh1, bnd1 = bn1(xq, False, affine=True)
+            q1 = int8_block_conv(x, kq1, sw1, b1, gt1, sh1, bnd1, mq)
+            kq2, sw2, b2 = conv2(xq, qpieces=True)
+            gt2, sh2, bnd2 = bn2(xq, False, affine=True)
+            return int8_block_conv(q1, kq2, sw2, b2, gt2, sh2, bnd2, mq,
+                                   res=x)
+        y = conv1(x)
+        y = bn1(y, train)
         y = nn.relu(y)
-        y = Conv2dTorch(self.features, 3, 1, 1, use_bias=True, dtype=self.dtype, int8=self.int8, name="conv2")(y)
-        y = BatchNormTorch(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn2")(y, train)
+        y = conv2(y)
+        y = bn2(y, train)
         return nn.relu(y + x)
 
 

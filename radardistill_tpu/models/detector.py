@@ -212,6 +212,9 @@ class PillarNet(nn.Module):
                 if int8_mode == "static":
                     assert cls is PillarRes18BackBone8xS2D, int8_mode
                     kwargs["int8_static"] = True
+                    # INT8_STAGES: how deep the fused chain runs (1 = stage
+                    # 1 only, 5 = whole backbone; backbone_s2d docstring)
+                    kwargs["int8_stages"] = int(sub.get("INT8_STAGES", 1))
                 else:
                     assert cls in (PillarRes18BackBone8x, PillarRes18BackBone8xS2D)
                     kwargs["int8"] = True

@@ -191,8 +191,16 @@ class Conv2dTorch(nn.Module):
     int8: bool = False
 
     @nn.compact
-    def __call__(self, x, qpieces: bool = False):
+    def __call__(self, x, qpieces: bool = False, raw: bool = False):
         k, p = self.kernel_size, self.padding
+        if raw:
+            # int8-static chain, strided links: the RAW float kernel so the
+            # caller can space-to-depth-pack it before quantizing (x is only
+            # used for the input channel count)
+            assert self.groups == 1
+            return _ConvParams(
+                (k, k, x.shape[-1], self.features), self.features,
+                self.use_bias, self.kernel_init, name="conv")()
         if qpieces:
             # int8-static chain: quantized kernel + scales (params under the
             # same 'conv' scope as the float/nn.Conv path)
@@ -256,6 +264,24 @@ class ConvTranspose2dTorch(nn.Module):
         return y
 
 
+class _BNVars(nn.Module):
+    """The exact param/variable tree flax nn.BatchNorm creates (scale=1,
+    bias=0, mean=0, var=1) — lets the int8-static chain read eval-BN pieces
+    without running the normalization."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,)))
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,)))
+        return scale, bias, mean.value, var.value
+
+
 class BatchNormTorch(nn.Module):
     """flax BatchNorm with torch momentum convention + train/eval switch."""
 
@@ -264,7 +290,16 @@ class BatchNormTorch(nn.Module):
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, affine: bool = False):
+        if affine:
+            # int8-static chain: eval-mode BN as (γ̃, shift, bound) — same
+            # extraction as MaskedBatchNorm.affine (x: channel count only)
+            assert not train, "affine extraction is an eval-only path"
+            scale, bias, mean, var = _BNVars(x.shape[-1], name="bn")()
+            gt = jax.lax.rsqrt(var + self.eps) * scale
+            shift = bias - mean * gt
+            bound = jnp.max(jnp.abs(bias) + INT8_SIGMA * jnp.abs(scale))
+            return gt, shift, bound
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.momentum,

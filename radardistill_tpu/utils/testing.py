@@ -183,6 +183,10 @@ def apply_bench_backbone_env(cfg):
     int8_mode = os.environ.get("BENCH_INT8", "")
     if int8_mode and "BACKBONE_3D" in cfg:
         cfg.BACKBONE_3D.INT8 = "static" if int8_mode == "static" else True
+    # BENCH_INT8_STAGES=n: chain depth for the static teacher chain (dev A/B)
+    stg = os.environ.get("BENCH_INT8_STAGES", "")
+    if stg and "BACKBONE_3D" in cfg:
+        cfg.BACKBONE_3D.INT8_STAGES = int(stg)
     as_mode = os.environ.get("BENCH_AS", "")
     if as_mode == "0" and "RADAR_BACKBONE_3D" in cfg:
         _strip(cfg.RADAR_BACKBONE_3D, ("_AS",))

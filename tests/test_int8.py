@@ -74,12 +74,16 @@ def test_int8_s2d_matches_dense_int8_tree():
 import pytest
 
 
-@pytest.mark.parametrize("pack_stage2", [False, True])
-def test_int8_static_chain_close_to_f32(pack_stage2):
+@pytest.mark.parametrize("pack_stage2,stages", [
+    (False, 1), (True, 1), (False, 3), (False, 5)])
+def test_int8_static_chain_close_to_f32(pack_stage2, stages):
     """Static chain (BN-derived bounds, int8 activations between convs):
     same checkpoint, bounded feature error, train-mode falls back to float
     exactly. pack_stage2=True extends the Pallas chain through the packed
-    stage-2 (360-class grid, C=256 / N=768 links).
+    stage-2 (360-class grid, C=256 / N=768 links); stages>1 extends the
+    UNPACKED chain through the later stages (strided downs as 2x2 convs on
+    the space-to-depth packing of the int8 carry, stage-4/5 exercising the
+    kernel's internal W-pad + small-BH paths).
 
     The analytic bound max(|β| + K|γ|) describes post-BN activations when
     the running statistics describe the data — true for any trained/frozen
@@ -90,7 +94,8 @@ def test_int8_static_chain_close_to_f32(pack_stage2):
     bev, mask = _inputs(seed=3)
     m_f = PillarRes18BackBone8xS2D(dtype=jnp.float32, pack_stage2=pack_stage2)
     m_q = PillarRes18BackBone8xS2D(dtype=jnp.float32, int8_static=True,
-                                   pack_stage2=pack_stage2)
+                                   pack_stage2=pack_stage2,
+                                   int8_stages=stages)
     v = m_f.init(jax.random.PRNGKey(0), bev, mask, False)
     assert jax.tree.structure(m_q.init(
         jax.random.PRNGKey(0), bev, mask, False)) == jax.tree.structure(v)
@@ -102,11 +107,12 @@ def test_int8_static_chain_close_to_f32(pack_stage2):
         v["batch_stats"] = apply_t(v, bev, mask)["batch_stats"]
     of = m_f.apply(v, bev, mask, False)
     oq = m_q.apply(v, bev, mask, False)
+    tol = 0.08 if stages == 1 else 0.16  # requant hops compound down-chain
     for k in ("x_conv3", "x_conv4", "x_conv5"):
         a = np.asarray(of[k], np.float32)
         b = np.asarray(oq[k], np.float32)
         rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
-        assert 0 < rel < 0.08, (k, rel)
+        assert 0 < rel < tol, (k, rel)
     # train-mode: the static flag must be inert (float path, bit-identical)
     ot, _ = m_f.apply(v, bev, mask, True, mutable=["batch_stats"])
     oqt, _ = m_q.apply(v, bev, mask, True, mutable=["batch_stats"])
