@@ -175,6 +175,17 @@ def main():
 
     tx, _ = build_optimizer(full.OPTIMIZATION, None, total_steps=1000)
     state = create_train_state(model, tx, batch)
+    # rebuild with the freeze mask exactly like tools/train.py:134-139 —
+    # the production optimizer carries NO Adam moments for the frozen
+    # teacher scopes (optax.masked); benching the unmasked chain would pay
+    # moment/decay HBM traffic per step that production never does
+    from radardistill_tpu.models.detector import FREEZE_NAME_TO_SCOPE
+    frozen_scopes = [s for n in cfg.get("FREEZE_PIPELINE", [])
+                     for s in FREEZE_NAME_TO_SCOPE.get(n, ())]
+    if frozen_scopes:
+        tx, _ = build_optimizer(full.OPTIMIZATION, state.params, 1000,
+                                frozen_scopes)
+        state = state.replace(opt_state=tx.init(state.params))
     step_fn = make_train_step(model, tx, cfg, CLASS_NAMES, info["voxel_size"],
                               info["point_cloud_range"])
 
