@@ -194,12 +194,19 @@ def main():
     # amortizing the tunnel's per-call round-trip tax (~30-60 ms, see
     # CLAUDE.md) — the defensible estimate of true per-step device time.
     scan_k = int(os.environ.get("BENCH_SCAN", "4"))
+    # BENCH_UNROLL=1 fully unrolls the k steps into straight-line code: the
+    # while-loop carry forces one layout on every state leaf and XLA inserts
+    # per-iteration boundary copies (~13-20 ms/step in the r3 trace) that the
+    # production host loop never pays; unrolling removes the while op at the
+    # cost of a k-times-larger (cached) compile.
+    unroll_k = scan_k if os.environ.get("BENCH_UNROLL", "0") == "1" else 1
     if scan_k > 1:
         def multi_step(state, batch):
             def body(s, _):
                 s2, m = step_fn(s, batch)
                 return s2, m["loss"]
-            state, losses = jax.lax.scan(body, state, None, length=scan_k)
+            state, losses = jax.lax.scan(body, state, None, length=scan_k,
+                                         unroll=unroll_k)
             return state, {"loss": losses[-1]}
 
         step = jax.jit(multi_step, donate_argnums=(0,))
