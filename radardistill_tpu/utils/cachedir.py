@@ -1,0 +1,39 @@
+"""Machine-keyed XLA CPU compile-cache directories.
+
+JAX's persistent compilation cache stores XLA:CPU AOT executables keyed by
+HLO + compiler version, NOT by host CPU features. Loading an entry compiled
+on a machine with a different feature set logs
+``cpu_aot_loader: ... could lead to execution errors such as SIGILL`` and
+can produce genuinely broken executables — observed in this repo as an
+all-gather rendezvous deadlock in the 8-virtual-device dryrun after the
+build machine changed between rounds (one thread at collective op_id=107,
+seven at op_id=1, 40 s termination timeout, Check failure).
+
+Fix: segregate CPU cache entries per machine by hashing the stable CPU
+feature flags into the directory name. TPU caches don't need this (the
+executable targets the TPU, not the host).
+"""
+
+import hashlib
+import os
+
+
+def machine_tag() -> str:
+    """Short stable fingerprint of this host's CPU feature set."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(
+        (platform.machine() + platform.processor()).encode()
+    ).hexdigest()[:10]
+
+
+def cpu_cache_dir(base: str) -> str:
+    """Machine-keyed subdirectory of ``base`` for XLA:CPU cache entries."""
+    return os.path.join(base, machine_tag())

@@ -24,8 +24,15 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: first full run pays XLA compile cost once;
-# subsequent pytest invocations reuse cached executables.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# subsequent pytest invocations reuse cached executables. MACHINE-KEYED:
+# XLA:CPU AOT entries from a different host CPU can mis-execute (observed:
+# collective rendezvous deadlock) — see radardistill_tpu/utils/cachedir.py.
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from radardistill_tpu.utils.cachedir import cpu_cache_dir  # noqa: E402
+
+_CACHE_DIR = cpu_cache_dir(os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
