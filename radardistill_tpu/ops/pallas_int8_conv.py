@@ -160,8 +160,20 @@ def int8_block_conv(xc, kq, sw, bias, gt, sh, bound, mask_q, res=None):
     """
     xq, bnd, zero = xc
     kh = kq.shape[0]
+    c = kq.shape[2]
     co = kq.shape[-1]
+    # Mosaic alignment (real TPU, not interpret mode): int8 operands sliced
+    # along the LANE dim must be 128-aligned — "Slice shape along dimension 3
+    # must be aligned to tiling (128), but is 64" on the stage-2 C=64 links.
+    # Lane-pad both sides to 128: input channels pad with zpad and the
+    # kernel's C rows with ZEROS (contribution exactly 0), output lanes pad
+    # the epilogue (mask 0 ⇒ y=0 ⇒ q=-127, the exact-zero encoding) and are
+    # sliced back after the kernel. Bit-exact either way (tests/test_int8.py
+    # runs the padded shapes in interpret mode).
+    c_pad = c if c % 128 == 0 else -(-c // 128) * 128
     co_pad = co if co % 128 == 0 else -(-co // 128) * 128
+    if c_pad != c:
+        kq = jnp.pad(kq, ((0, 0), (0, 0), (0, c_pad - c), (0, 0)))
     s_in = jnp.maximum(bnd, 1e-8) / (127.0 + zero)
     alpha = (s_in * sw * gt).astype(jnp.float32)
     # conv(x)/s_in = conv_valid(pad(xq, -zero)) + zero·Σkq (per-channel
@@ -170,6 +182,11 @@ def int8_block_conv(xc, kq, sw, bias, gt, sh, bound, mask_q, res=None):
     ksum = kq.astype(jnp.float32).sum(axis=(0, 1, 2))
     bias_t = 0.0 if bias is None else bias
     beta = (zero * ksum * alpha + bias_t * gt + sh).astype(jnp.float32)
+    if co_pad != co:
+        lane_pad = ((0, co_pad - co),)
+        alpha = jnp.pad(alpha, lane_pad)
+        beta = jnp.pad(beta, lane_pad)
+        mask_q = jnp.pad(mask_q, ((0, 0), (0, 0), (0, 0), (0, co_pad - co)))
 
     zpad = -int(zero)  # python float in this chain: 0.0 entry, 127.0 after
     # W alignment: the kernel's per-tap row slices need w % 8 == 0 (stage 4
@@ -179,9 +196,11 @@ def int8_block_conv(xc, kq, sw, bias, gt, sh, bound, mask_q, res=None):
     # int8 copy, negligible next to the conv)
     w = xq.shape[2]
     dw = (-w) % 8
+    # channel pad value is zpad (dequantizes to exact 0) AND the kernel's
+    # padded C rows are zero — doubly inert
     xp = jax.lax.pad(
         xq, jnp.asarray(zpad, jnp.int8),
-        [(0, 0, 0), (1, kh - 2, 0), (0, dw, 0), (0, 0, 0)])
+        [(0, 0, 0), (1, kh - 2, 0), (0, dw, 0), (0, c_pad - c, 0)])
     if dw:
         zero_i8 = jnp.asarray(0, jnp.int8)
         mask_q = jax.lax.pad(
@@ -190,19 +209,19 @@ def int8_block_conv(xc, kq, sw, bias, gt, sh, bound, mask_q, res=None):
 
     if res is not None:
         resq, rb, rz = res
-        if dw:
-            # pad-column residual values only feed pad outputs (masked) —
-            # any fill works
+        if dw or co_pad != co:
+            # pad-column/lane residual values only feed pad outputs
+            # (masked) — any fill works
             resq = jax.lax.pad(
                 resq, jnp.asarray(0, jnp.int8),
-                [(0, 0, 0), (0, 0, 0), (0, dw, 0), (0, 0, 0)])
+                [(0, 0, 0), (0, 0, 0), (0, dw, 0), (0, co_pad - co, 0)])
         rs = jnp.maximum(rb, 1e-8) / (127.0 + rz)
         b_out = bound + rb
     else:
         resq, b_out = None, bound
     s_out = 254.0 / jnp.maximum(b_out, 1e-8)
 
-    ab = jnp.zeros((8, co), jnp.float32)
+    ab = jnp.zeros((8, co_pad), jnp.float32)
     ab = ab.at[0].set(alpha)
     ab = ab.at[1].set(beta)
     ab = ab.at[2].set(s_out)
@@ -221,4 +240,6 @@ def int8_block_conv(xc, kq, sw, bias, gt, sh, bound, mask_q, res=None):
                     interpret=interpret)
     if dw:
         q = q[:, :, :w]
+    if co_pad != co:
+        q = q[..., :co]
     return q, jax.lax.stop_gradient(b_out), 127.0
