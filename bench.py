@@ -201,12 +201,33 @@ def main():
     # cost of a k-times-larger (cached) compile.
     unroll_k = scan_k if os.environ.get("BENCH_UNROLL", "0") == "1" else 1
     if scan_k > 1:
+        # Force per-iteration recompute of every batch-dependent subgraph:
+        # with the production (masked) optimizer the frozen teacher's params
+        # come out of apply_updates bit-identical (p + 0 simplifies to p), so
+        # the teacher forward and target assignment are loop-INVARIANT w.r.t.
+        # the scan carry and XLA hoists them out of the while loop — the
+        # harness then skips ~70 ms/step of work production pays on every
+        # fresh batch (CLAUDE.md trap (a), here at subgraph granularity: it
+        # inflated the first masked-optimizer measurement to 10.2 samples/s).
+        # A carry-derived ~1e-28 perturbation of the float inputs is far
+        # below the data's f32 resolution (the adds round to identical bits
+        # at runtime — same math, same measurement) but makes the teacher
+        # subgraph loop-variant. Same trick as infer_bench's scan.
+        def perturbed(b, eps):
+            out = dict(b)
+            for key in ("points", "radar_points", "gt_boxes"):
+                if key in out:
+                    out[key] = out[key] + eps.astype(out[key].dtype)
+            return out
+
         def multi_step(state, batch):
-            def body(s, _):
-                s2, m = step_fn(s, batch)
-                return s2, m["loss"]
-            state, losses = jax.lax.scan(body, state, None, length=scan_k,
-                                         unroll=unroll_k)
+            def body(carry, _):
+                s, eps = carry
+                s2, m = step_fn(s, perturbed(batch, eps))
+                return (s2, m["loss"] * 1e-30), m["loss"]
+            (state, _), losses = jax.lax.scan(
+                body, (state, jnp.zeros((), jnp.float32)), None,
+                length=scan_k, unroll=unroll_k)
             return state, {"loss": losses[-1]}
 
         step = jax.jit(multi_step, donate_argnums=(0,))
