@@ -18,13 +18,40 @@ import hashlib
 import os
 
 
+#: cpuinfo keys that identify the microarchitecture. Flags ALONE are not
+#: enough: VM-masked feature flags can be bit-identical across different
+#: physical CPU generations (observed r3: two fleet hosts, both
+#: "Intel(R) Xeon(R) Processor @ 2.10GHz" with identical flags, hashed to
+#: the same tag — the foreign AOT entries then reproduced the op_id=107
+#: all-gather rendezvous abort). LLVM's host-CPU detection keys off
+#: vendor/family/model/stepping, so the tag must too.
+_ID_KEYS = (
+    "vendor_id",
+    "cpu family",
+    "model",
+    "model name",
+    "stepping",
+    "microcode",
+    "flags",
+    "bugs",
+    "cpuid level",
+    "address sizes",
+)
+
+
 def machine_tag() -> str:
-    """Short stable fingerprint of this host's CPU feature set."""
+    """Short stable fingerprint of this host's CPU identity."""
     try:
+        ident = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                if not line.strip():
+                    break  # end of the first processor block
+                key = line.split(":", 1)[0].strip()
+                if key in _ID_KEYS:
+                    ident.append(line)
+        if ident:
+            return hashlib.sha1("".join(ident).encode()).hexdigest()[:10]
     except OSError:
         pass
     import platform
