@@ -13,7 +13,7 @@ overfit_check — which unfreezes everything — never exercises it):
            (BACKBONE_3D.INT8: static). Compare final student mAP and the
            distill-loss trajectories.
 
-Usage: JAX_COMPILATION_CACHE_DIR=.jax_tpu_cache python tools/int8_quality.py [steps_a] [steps_b] [grid]
+Usage: JAX_COMPILATION_CACHE_DIR=.jax_tpu_cache python tools/int8_quality.py [steps_a] [steps_b] [grid] [int8_stages]
 """
 
 import sys
@@ -29,6 +29,7 @@ def main():
     steps_a = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     steps_b = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     grid = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    int8_stages = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     import jax
     import jax.numpy as jnp
@@ -111,6 +112,7 @@ def main():
         cfg_b.BACKBONE_3D = ConfigDict(cfg.BACKBONE_3D)
         if mode == "int8":
             cfg_b.BACKBONE_3D.INT8 = "static"
+            cfg_b.BACKBONE_3D.INT8_STAGES = int8_stages
         model_b = build_network(cfg_b, info, compute_dtype=jnp.bfloat16)
         tx_b, _ = build_optimizer(optim_cfg, state_a.params,
                                   total_steps=steps_b,
