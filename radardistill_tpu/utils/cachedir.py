@@ -39,20 +39,26 @@ _ID_KEYS = (
 )
 
 
+def _tag_from_cpuinfo(text: str) -> str:
+    """Hash the identity lines of the FIRST processor block of ``text``."""
+    ident = []
+    for line in text.splitlines(keepends=True):
+        if not line.strip():
+            break  # end of the first processor block
+        key = line.split(":", 1)[0].strip()
+        if key in _ID_KEYS:
+            ident.append(line)
+    if not ident:
+        raise ValueError("no identity lines found")
+    return hashlib.sha1("".join(ident).encode()).hexdigest()[:10]
+
+
 def machine_tag() -> str:
     """Short stable fingerprint of this host's CPU identity."""
     try:
-        ident = []
         with open("/proc/cpuinfo") as f:
-            for line in f:
-                if not line.strip():
-                    break  # end of the first processor block
-                key = line.split(":", 1)[0].strip()
-                if key in _ID_KEYS:
-                    ident.append(line)
-        if ident:
-            return hashlib.sha1("".join(ident).encode()).hexdigest()[:10]
-    except OSError:
+            return _tag_from_cpuinfo(f.read())
+    except (OSError, ValueError):
         pass
     import platform
 

@@ -104,3 +104,48 @@ def test_app_renderer():
     assert len(gt_for_frame(gt, "f0", 0)) == 1
     fig = render_grid({"student": det, "baseline": det}, gt, 0, 0.3)
     assert fig is not None
+
+
+def test_cachedir_machine_tag_keys_on_cpu_identity():
+    """The CPU compile-cache key must change when the host CPU identity
+    changes, even if the (VM-masked) feature flags are identical — the
+    r3 regression: two fleet hosts with bit-identical flags but different
+    family/model mis-executed each other's XLA:CPU AOT entries (all-gather
+    rendezvous abort in the 8-device dryrun)."""
+    from radardistill_tpu.utils.cachedir import (_tag_from_cpuinfo,
+                                                 cpu_cache_dir, machine_tag)
+
+    block = (
+        "processor\t: 0\n"
+        "vendor_id\t: GenuineIntel\n"
+        "cpu family\t: 6\n"
+        "model\t\t: 207\n"
+        "model name\t: Intel(R) Xeon(R) Processor @ 2.10GHz\n"
+        "stepping\t: 2\n"
+        "microcode\t: 0x1\n"
+        "cpu MHz\t\t: 2100.000\n"
+        "flags\t\t: fpu vme de pse avx512f amx_int8\n"
+        "bugs\t\t: spectre_v1\n"
+    )
+    t1 = _tag_from_cpuinfo(block)
+    assert len(t1) == 10 and t1 == _tag_from_cpuinfo(block)  # stable
+
+    # identical flags, different microarch -> DIFFERENT tag (the r3 bug)
+    other = block.replace("model\t\t: 207", "model\t\t: 143")
+    assert _tag_from_cpuinfo(other) != t1
+
+    # flag changes still discriminate too
+    assert _tag_from_cpuinfo(block.replace(" amx_int8", "")) != t1
+
+    # non-identity lines (clock, processor index) must NOT affect the tag
+    assert _tag_from_cpuinfo(
+        block.replace("2100.000", "2399.998").replace(
+            "processor\t: 0", "processor\t: 4")) == t1
+
+    # only the FIRST processor block is keyed (SMP dumps repeat blocks)
+    assert _tag_from_cpuinfo(block + "\n" + other) == t1
+
+    # live host path: stable and wired into cpu_cache_dir
+    tag = machine_tag()
+    assert tag == machine_tag()
+    assert cpu_cache_dir("/b").endswith("/b/" + tag)
