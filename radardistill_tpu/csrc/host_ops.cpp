@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <vector>
 
 namespace {
 
@@ -169,6 +170,183 @@ int nms_bev(const float* boxes, const float* scores, int n, float thresh,
   delete[] order;
   delete[] suppressed;
   return nk;
+}
+
+// ---------------------------------------------------------------------------
+// Active-site sparse-conv index tables (host-side rulebook construction).
+//
+// TPU equivalent of spconv's host-built gather/scatter rulebooks (the
+// reference consumes them via pcdet/utils/spconv_utils.py:1-38; spconv caches
+// them per indice-key on first sight of a geometry). Our device-side build
+// (radardistill_tpu/ops/active_site.py conv_neighbor_table_b / invert_taps_b /
+// downsample_active) is pure s32 glue running at 2-8 GB/s on TPU
+// (~16 ms/step, PERF.md r3d); these tables are pure functions of the point
+// COORDS, so the dataloader builds them here and ships them as batch inputs.
+// Semantics are BIT-IDENTICAL to the device build (tests/test_host_precompute
+// asserts array equality against the jitted oracle).
+
+// Neighbor + inverse tables for one 3x3 pad-1 conv (stride 1 = subm, 2 =
+// down). Mirrors active_site.conv_neighbor_table_b + invert_taps_b:
+//   nb  (9, cap_out) input rows, hole-filled monotone per tap, clipped;
+//   msk (9, cap_out) 1 where the neighbor exists;
+//   inv (9, cap_in)  output rows (tap-inverse permutation), filled+clipped;
+//   imsk(9, cap_in)  1 where input row is referenced by the tap.
+void as_build_tap(const int32_t* out_uids, int cap_out,
+                  const int32_t* in_uids, int cap_in,
+                  int h_in, int w_in, int out_w, int stride,
+                  int32_t* nb, uint8_t* msk, int32_t* inv, uint8_t* imsk) {
+  const int hw = h_in * w_in;
+  const int h_out = h_in / stride;
+  // dense site-index grid of the input set (site_index_grid equivalent)
+  std::vector<int32_t> grid(hw, cap_in);
+  for (int r = 0; r < cap_in; ++r) {
+    const int32_t u = in_uids[r];
+    if (u >= 0 && u < hw) grid[u] = r;
+  }
+  for (int k = 0; k < 9; ++k) {
+    const int ky = k / 3, kx = k % 3;
+    int32_t run = -1;  // cummax hole fill
+    int32_t* nbk = nb + k * cap_out;
+    uint8_t* mk = msk + k * cap_out;
+    int32_t* ivk = inv + k * cap_in;
+    uint8_t* imk = imsk + k * cap_in;
+    // inverse map scratch: min output row per input row (sentinel cap_out)
+    std::vector<int32_t> tgt(cap_in, cap_out);
+    for (int o = 0; o < cap_out; ++o) {
+      const int32_t u = out_uids[o];
+      const int oy = u / out_w, ox = u % out_w;
+      const int iy = oy * stride - 1 + ky;
+      const int ix = ox * stride - 1 + kx;
+      const bool ok = (oy < h_out) && iy >= 0 && iy < h_in && ix >= 0 && ix < w_in;
+      int32_t nbv = cap_in;
+      if (ok) nbv = grid[iy * w_in + ix];
+      const bool exists = ok && nbv < cap_in;
+      mk[o] = exists ? 1 : 0;
+      if (exists) {
+        if (nbv > run) run = nbv;
+        if (tgt[nbv] > o) tgt[nbv] = o;  // per-tap injective: first wins
+      }
+      int32_t v = run;
+      if (v < 0) v = 0;
+      if (v > cap_in - 1) v = cap_in - 1;
+      nbk[o] = v;
+    }
+    int32_t irun = -1;
+    for (int r = 0; r < cap_in; ++r) {
+      const bool ex = tgt[r] < cap_out;
+      imk[r] = ex ? 1 : 0;
+      if (ex && tgt[r] > irun) irun = tgt[r];
+      int32_t v = irun;
+      if (v < 0) v = 0;
+      if (v > cap_out - 1) v = cap_out - 1;
+      ivk[r] = v;
+    }
+  }
+}
+
+// Pillar encode: per-point ids (f32 floor((xy-range)/voxel), sentinel nx*ny
+// for masked/out-of-range), STABLE radix sort of points by id, and the
+// compact-unique pillar table. One call replaces the numpy argsort +
+// take_along_axis path (measured 50 ms/sample at 160k lidar points — the
+// loader thread must stay well under the device step). Semantics identical
+// to ops/voxelize.compute_pillar_coords + pillar_ids + stable argsort +
+// active_site.compact_unique_sorted.
+// points (n, f) f32 row-major; outputs: pts_s (n, f), mask_s (n) u8,
+// ids_s (n) i32, slot (n) i32, uids (capacity) i32. Returns the true
+// unique-pillar count (pre-capping).
+int32_t pillar_sort_encode(const float* points, const uint8_t* mask, int n,
+                           int f, float x0, float y0, float vx, float vy,
+                           int nx, int ny, int capacity, float* pts_s,
+                           uint8_t* mask_s, int32_t* ids_s, int32_t* slot,
+                           int32_t* uids) {
+  const int32_t sent = nx * ny;
+  std::vector<int32_t> ids(n);
+  for (int i = 0; i < n; ++i) {
+    const float px = points[(size_t)i * f];
+    const float py = points[(size_t)i * f + 1];
+    const int32_t cx = (int32_t)std::floor((px - x0) / vx);
+    const int32_t cy = (int32_t)std::floor((py - y0) / vy);
+    const bool ok = mask[i] && cx >= 0 && cx < nx && cy >= 0 && cy < ny;
+    ids[i] = ok ? cy * nx + cx : sent;
+  }
+  // stable LSD radix sort of indices by id (11-bit digits; ids <= nx*ny
+  // fit 3 passes up to 8G cells — far beyond any BEV grid)
+  std::vector<int32_t> ord(n), tmp(n);
+  for (int i = 0; i < n; ++i) ord[i] = i;
+  const int BITS = 11, BUCKETS = 1 << BITS;
+  int passes = 0;
+  for (int64_t m = (int64_t)sent; m > 0; m >>= BITS) ++passes;
+  std::vector<int32_t> cnt(BUCKETS);
+  for (int p = 0; p < passes; ++p) {
+    const int sh = p * BITS;
+    std::fill(cnt.begin(), cnt.end(), 0);
+    for (int i = 0; i < n; ++i) ++cnt[(ids[ord[i]] >> sh) & (BUCKETS - 1)];
+    int32_t run = 0;
+    for (int b = 0; b < BUCKETS; ++b) {
+      const int32_t c = cnt[b];
+      cnt[b] = run;
+      run += c;
+    }
+    for (int i = 0; i < n; ++i) {
+      const int32_t o = ord[i];
+      tmp[cnt[(ids[o] >> sh) & (BUCKETS - 1)]++] = o;
+    }
+    std::swap(ord, tmp);
+  }
+  // gather payloads + compact unique (first-occurrence slots, overflow=cap)
+  for (int32_t u = 0; u < capacity; ++u) uids[u] = sent;
+  int32_t prev = -1, pos = -1;
+  for (int i = 0; i < n; ++i) {
+    const int32_t o = ord[i];
+    const int32_t id = ids[o];
+    std::memcpy(pts_s + (size_t)i * f, points + (size_t)o * f,
+                sizeof(float) * f);
+    mask_s[i] = mask[o];
+    ids_s[i] = id;
+    const bool valid = id < sent;
+    if (valid && id != prev) {
+      ++pos;
+      if (pos < capacity) uids[pos] = id;
+      prev = id;
+    }
+    slot[i] = (valid && pos < capacity) ? pos : capacity;
+  }
+  return pos + 1;
+}
+
+// Output active set of a 3x3 stride-2 pad-1 SparseConv2d (active_site.
+// downsample_active equivalent: out site active iff its receptive field
+// touches an active input; overflow drops LARGEST ids). Returns the true
+// active count (pre-capping) for overflow accounting.
+int32_t as_downsample(const int32_t* uids, int cap, int h, int w, int cap_out,
+                      int32_t* out_uids) {
+  const int h2 = h / 2, w2 = w / 2;
+  const int hw = h * w;
+  std::vector<uint8_t> act((size_t)h2 * w2, 0);
+  for (int r = 0; r < cap; ++r) {
+    const int32_t u = uids[r];
+    if (u >= hw || u < 0) continue;
+    const int y = u / w, x = u % w;
+    const int oy0 = y / 2, oy1 = (y + 1) / 2;
+    const int ox0 = x / 2, ox1 = (x + 1) / 2;
+    for (int oy = oy0; oy <= oy1; ++oy) {
+      if (oy >= h2) continue;
+      for (int ox = ox0; ox <= ox1; ++ox) {
+        if (ox >= w2) continue;
+        act[(size_t)oy * w2 + ox] = 1;
+      }
+    }
+  }
+  int32_t n = 0;
+  const int32_t sent = h2 * w2;
+  for (int32_t c = 0; c < sent; ++c) {
+    if (!act[c]) continue;
+    if (n < cap_out) out_uids[n] = c;
+    ++n;
+  }
+  for (int32_t i = n < cap_out ? n : cap_out; i < cap_out; ++i)
+    out_uids[i] = sent;
+  return n;
 }
 
 }  // extern "C"

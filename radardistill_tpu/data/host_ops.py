@@ -35,6 +35,23 @@ def _load():
         lib.points_in_boxes.argtypes = [f32p, ctypes.c_int, f32p, ctypes.c_int, i32p]
         lib.nms_bev.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_float, i32p]
         lib.nms_bev.restype = ctypes.c_int
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.as_build_tap.argtypes = [
+            i32p, ctypes.c_int, i32p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, u8p, i32p, u8p,
+        ]
+        lib.as_downsample.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+        ]
+        lib.as_downsample.restype = ctypes.c_int
+        lib.pillar_sort_encode.argtypes = [
+            f32p, u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f32p, u8p, i32p, i32p, i32p,
+        ]
+        lib.pillar_sort_encode.restype = ctypes.c_int
         _lib = lib
         return lib
 
@@ -79,3 +96,57 @@ def nms_bev(boxes: np.ndarray, scores: np.ndarray, thresh: float) -> np.ndarray:
     keep = np.zeros(len(b), np.int32)
     nk = lib.nms_bev(b, s, len(b), float(thresh), keep)
     return keep[:nk]
+
+
+def pillar_sort_encode(points: np.ndarray, mask: np.ndarray, pc_range,
+                       voxel_size, grid_size, capacity: int):
+    """Per-sample pillar encode (stable sort by pillar id + compact table).
+    Returns (pts_sorted, mask_sorted, ids_sorted, slot, uids, count) — same
+    semantics as the device path (models/vfe.encode_table front half)."""
+    lib = _load()
+    n, f = points.shape
+    nx, ny = int(grid_size[0]), int(grid_size[1])
+    pts = np.ascontiguousarray(points, np.float32)
+    msk = np.ascontiguousarray(mask, np.uint8)
+    pts_s = np.empty_like(pts)
+    mask_s = np.empty(n, np.uint8)
+    ids_s = np.empty(n, np.int32)
+    slot = np.empty(n, np.int32)
+    uids = np.empty(capacity, np.int32)
+    count = lib.pillar_sort_encode(
+        pts, msk, n, f,
+        float(pc_range[0]), float(pc_range[1]),
+        float(voxel_size[0]), float(voxel_size[1]),
+        nx, ny, capacity, pts_s, mask_s, ids_s, slot, uids,
+    )
+    return pts_s, mask_s.astype(bool), ids_s, slot, uids, int(count)
+
+
+def as_build_tap(out_uids: np.ndarray, in_uids: np.ndarray, h_in: int,
+                 w_in: int, out_w: int, stride: int):
+    """Per-sample sparse-conv index tables (active_site.conv_neighbor_table_b
+    + invert_taps_b semantics, bit-identical). Returns (nb, msk, inv, imsk)."""
+    lib = _load()
+    cap_out, cap_in = len(out_uids), len(in_uids)
+    nb = np.empty((9, cap_out), np.int32)
+    msk = np.empty((9, cap_out), np.uint8)
+    inv = np.empty((9, cap_in), np.int32)
+    imsk = np.empty((9, cap_in), np.uint8)
+    lib.as_build_tap(
+        np.ascontiguousarray(out_uids, np.int32), cap_out,
+        np.ascontiguousarray(in_uids, np.int32), cap_in,
+        h_in, w_in, out_w, stride, nb, msk, inv, imsk,
+    )
+    return nb, msk.astype(bool), inv, imsk.astype(bool)
+
+
+def as_downsample(uids: np.ndarray, h: int, w: int, cap_out: int):
+    """Per-sample stride-2 active-set growth (active_site.downsample_active
+    semantics: receptive-field dilation, overflow drops largest ids).
+    Returns (out_uids (cap_out,), true count)."""
+    lib = _load()
+    out = np.empty(cap_out, np.int32)
+    n = lib.as_downsample(
+        np.ascontiguousarray(uids, np.int32), len(uids), h, w, cap_out, out
+    )
+    return out, int(n)

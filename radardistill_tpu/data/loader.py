@@ -44,7 +44,7 @@ class DataLoader:
 
     def __init__(self, dataset: DatasetTemplate, batch_size: int, shuffle: bool,
                  seed: int = 0, drop_last: bool = None, process_index: int = 0,
-                 process_count: int = 1, workers: int = 0):
+                 process_count: int = 1, workers: int = 0, batch_transform=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -54,6 +54,10 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.workers = workers
+        # post-collate host transform (e.g. data/host_precompute.HostPrecompute
+        # adding sorted points + AS rulebooks); runs on the prefetch thread so
+        # it overlaps device compute like the rest of the host pipeline
+        self.batch_transform = batch_transform
 
     def set_epoch(self, epoch):
         self.epoch = epoch
@@ -128,10 +132,12 @@ class DataLoader:
         return min(n, len(self))
 
     def _iter_base(self):
-        if self.workers > 0:
-            yield from self._iter_workers()
+        it = self._iter_workers() if self.workers > 0 else self._iter_serial()
+        if self.batch_transform is None:
+            yield from it
         else:
-            yield from self._iter_serial()
+            for batch, host in it:
+                yield self.batch_transform(batch), host
 
     def __iter__(self):
         """Prefetch one batch ahead on a background thread so host-side
@@ -168,7 +174,7 @@ class DataLoader:
 def build_dataloader(
     dataset_cfg, class_names, batch_size, dist=False, root_path=None, workers=0,
     logger=None, training=True, seed=0, total_epochs=0, merge_all_iters_to_one_epoch=False,
-    process_index=0, process_count=1,
+    process_index=0, process_count=1, model_cfg=None,
 ):
     cls = DATASETS[dataset_cfg["DATASET"]]
     dataset = cls(
@@ -177,8 +183,22 @@ def build_dataloader(
     )
     if merge_all_iters_to_one_epoch:
         dataset.merge_all_iters_to_one_epoch(True, total_epochs)
+    transform = None
+    if model_cfg is not None:
+        # host precompute (sorted points, pillar tables, AS rulebooks) needs
+        # the MODEL's backbone formulation/capacities — a no-op otherwise
+        from .host_precompute import HostPrecompute
+
+        hp = HostPrecompute(
+            model_cfg, tuple(int(x) for x in dataset.grid_size[:2]),
+            tuple(float(x) for x in dataset.voxel_size),
+            tuple(float(x) for x in dataset.point_cloud_range),
+        )
+        if hp.lidar_cap is not None or hp.radar_cap is not None:
+            transform = hp
     loader = DataLoader(
         dataset, batch_size, shuffle=training, seed=seed,
         process_index=process_index, process_count=process_count, workers=workers,
+        batch_transform=transform,
     )
     return dataset, loader

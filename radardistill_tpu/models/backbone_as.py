@@ -145,7 +145,7 @@ class PillarRes18BackBone8xAS(nn.Module):
     channels = (32, 64, 128, 256, 256)
 
     @nn.compact
-    def __call__(self, feats, uids, train: bool) -> Dict[str, jnp.ndarray]:
+    def __call__(self, feats, uids, train: bool, tables=None) -> Dict[str, jnp.ndarray]:
         h, w = self.hw
         assert 2 <= self.dense_from <= 5, self.dense_from
         caps = [min(c, (h // s) * (w // s)) for c, s in zip(self.caps, (1, 2, 4, 8))]
@@ -158,11 +158,20 @@ class PillarRes18BackBone8xAS(nn.Module):
         valid = uids < h * w
         x = feats * valid[..., None].astype(feats.dtype)
 
+        # ``tables`` (optional): host-built rulebooks + per-stage active sets
+        # (data/host_precompute.as_tables) — the device then pays ZERO for
+        # index-table construction (~16 ms/step of 2-8 GB/s s32 glue, PERF.md
+        # r3d). Bit-identical to the device build below (tested); the device
+        # build remains the synthetic/dryrun path and the test oracle.
+
         # ---- stage 1: submanifold at stride 1 (always sparse: the input is
         # a table and the 1440² dense map is what we refuse to materialize)
-        grid = jax.vmap(lambda u: asx.site_index_grid(u, h * w, cap1))(uids)
-        nb, msk = asx.conv_neighbor_table_b(uids, grid, (h, w), w, 1, cap1)
-        tap = (nb, msk) + asx.invert_taps_b(nb, msk, cap1)
+        if tables is not None:
+            tap = tables["tap1"]
+        else:
+            grid = jax.vmap(lambda u: asx.site_index_grid(u, h * w, cap1))(uids)
+            nb, msk = asx.conv_neighbor_table_b(uids, grid, (h, w), w, 1, cap1)
+            tap = (nb, msk) + asx.invert_taps_b(nb, msk, cap1)
         x = SparseBasicBlockAS(32, self.dtype, name="conv1_0")(x, tap, valid, train)
         x = SparseBasicBlockAS(32, self.dtype, name="conv1_1")(x, tap, valid, train)
         out["as1"] = (x, uids)
@@ -180,22 +189,30 @@ class PillarRes18BackBone8xAS(nn.Module):
             if stage < self.dense_from:
                 # sparse down + 2 sparse blocks
                 cap_out = caps[stage - 1]
-                new_uids, _cnt = jax.vmap(
-                    lambda u: asx.downsample_active(u, (sh, sw), cap_out)
-                )(uids)
+                if tables is not None:
+                    new_uids = tables[f"uids{stage}"]
+                    _cnt = tables["counts"][:, stage - 2]
+                    tap_d = tables[f"dtap{stage}"]
+                else:
+                    new_uids, _cnt = jax.vmap(
+                        lambda u: asx.downsample_active(u, (sh, sw), cap_out)
+                    )(uids)
+                    nb_d, msk_d = asx.conv_neighbor_table_b(
+                        new_uids, grid, (sh, sw), sw // 2, 2, cap_in
+                    )
+                    tap_d = (nb_d, msk_d) + asx.invert_taps_b(nb_d, msk_d, cap_in)
                 overflow = overflow + jnp.sum(jnp.maximum(_cnt - cap_out, 0))
-                nb_d, msk_d = asx.conv_neighbor_table_b(
-                    new_uids, grid, (sh, sw), sw // 2, 2, cap_in
-                )
-                tap_d = (nb_d, msk_d) + asx.invert_taps_b(nb_d, msk_d, cap_in)
                 sh, sw, cap_in, uids = sh // 2, sw // 2, cap_out, new_uids
                 valid = uids < sh * sw
                 x = SparseDownBlockAS(feat_ch, self.dtype, name=f"conv{stage}_down")(
                     x, tap_d, valid, train
                 )
-                grid = jax.vmap(lambda u: asx.site_index_grid(u, sh * sw, cap_in))(uids)
-                nb, msk = asx.conv_neighbor_table_b(uids, grid, (sh, sw), sw, 1, cap_in)
-                tap = (nb, msk) + asx.invert_taps_b(nb, msk, cap_in)
+                if tables is not None:
+                    tap = tables[f"tap{stage}"]
+                else:
+                    grid = jax.vmap(lambda u: asx.site_index_grid(u, sh * sw, cap_in))(uids)
+                    nb, msk = asx.conv_neighbor_table_b(uids, grid, (sh, sw), sw, 1, cap_in)
+                    tap = (nb, msk) + asx.invert_taps_b(nb, msk, cap_in)
                 x = SparseBasicBlockAS(feat_ch, self.dtype, name=f"conv{stage}_0")(
                     x, tap, valid, train
                 )

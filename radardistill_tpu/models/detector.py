@@ -218,6 +218,11 @@ class PillarNet(nn.Module):
                 else:
                     assert cls in (PillarRes18BackBone8x, PillarRes18BackBone8xS2D)
                     kwargs["int8"] = True
+            if cls is PillarRes18BackBone8xS2D and sub.get("FP_STAGES", 0):
+                # frozen-teacher fused bf16 chain for stages 2..FP_STAGES
+                # (backbone_s2d docstring; composes with the int8 chain —
+                # int8-covered stages win)
+                kwargs["fp_stages"] = int(sub["FP_STAGES"])
             if cls is PillarRes18BackBone8xTileSparse:
                 kwargs = dict(tile=sub.get("TILE", 32), max_tiles=sub.get("MAX_TILES", 512))
             if cls is PillarRes18BackBone8xS2D and name.endswith("_S2D2"):
@@ -276,13 +281,20 @@ class PillarNet(nn.Module):
         out: Dict[str, Any] = {}
         dt = self.compute_dtype
 
+        # host-precomputed VFE/AS inputs (data/host_precompute.py): sorted
+        # points + pillar tables (+ radar rulebooks) built in the dataloader,
+        # overlapped with device compute. Absent keys -> device-side build.
+        hp_lidar = batch.get("hp_lidar")
+        hp_radar = batch.get("hp_radar")
+        hp_as = batch.get("hp_as")
+
         if self.has_teacher:
             # raw (f32) points: coordinate features need full precision;
             # the VFE casts to the compute dtype post-BN (vfe.PFNLayerV2)
             if self.as_teacher:
                 tfeats, tuids, tcnt = self.vfe(
                     batch["points"], batch["points_mask"],
-                    self._maybe_freeze("vfe", train),
+                    self._maybe_freeze("vfe", train), hp_lidar,
                 )
                 tfeats, tuids = self._stop("vfe", (tfeats, tuids))
                 ms = self.backbone_3d(
@@ -294,7 +306,7 @@ class PillarNet(nn.Module):
             elif self.s2dt_teacher:
                 tfeats, tuids, tcnt = self.vfe(
                     batch["points"], batch["points_mask"],
-                    self._maybe_freeze("vfe", train),
+                    self._maybe_freeze("vfe", train), hp_lidar,
                 )
                 tfeats, tuids = self._stop("vfe", (tfeats, tuids))
                 ms = self.backbone_3d(
@@ -338,10 +350,12 @@ class PillarNet(nn.Module):
                 rpts, rpts_mask = batch["points"], batch["points_mask"]
             if self.as_radar:
                 rfeats, ruids, rcnt = self.radar_vfe(
-                    rpts, rpts_mask, self._maybe_freeze("radar_vfe", train)
+                    rpts, rpts_mask, self._maybe_freeze("radar_vfe", train),
+                    hp_radar,
                 )
                 rms = self.radar_backbone_3d(
-                    rfeats, ruids, self._maybe_freeze("radar_backbone_3d", train)
+                    rfeats, ruids, self._maybe_freeze("radar_backbone_3d", train),
+                    hp_as,
                 )
                 # capacity-overflow monitoring counter (VFE table + backbone
                 # stage caps); logged as tb `as_overflow`

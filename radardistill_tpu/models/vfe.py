@@ -163,32 +163,44 @@ class DynamicPillarVFESimple2D(nn.Module):
         total = fwd + bwd - xyz1
         return total[..., :3] / jnp.clip(total[..., 3:], 1.0)
 
-    def encode_table(self, points, point_mask, train: bool, capacity: int):
+    def encode_table(self, points, point_mask, train: bool, capacity: int,
+                     pre=None):
         """Shared compact-table encoder: sort points by pillar id once,
         reduce through the PFN into a (B, capacity, C) sorted pillar table.
 
         Returns (table, uids, count). Every scatter/gather is monotone; the
         dense (B, H*W, C) scatter grids of the original formulation never
         exist (their row scatters ran at ~2 GB/s on TPU with XLA picking a
-        dim0-minor layout — PERF.md r2 profile: 80 ms/step at bs4)."""
+        dim0-minor layout — PERF.md r2 profile: 80 ms/step at bs4).
+
+        ``pre`` (optional): host-precomputed dict(ids, slot, uids, count)
+        from data/host_precompute.pillar_encode — points then arrive ALREADY
+        sorted by pillar id and the device skips the argsort/take (8.6 ms/
+        step, PERF.md r3d) and the compact-unique. Bit-identical (the host
+        sort is the same stable sort; tests/test_host_precompute.py)."""
         from ..ops import active_site as asx
-
-        coords, in_range = voxelize.compute_pillar_coords(
-            points[..., :2], self.point_cloud_range, self.voxel_size, self.grid_size
-        )
-        valid = point_mask & in_range
-        ids = voxelize.pillar_ids(coords, valid, self.grid_size)
-
-        order = jnp.argsort(ids, axis=-1)
-        ids = jnp.take_along_axis(ids, order, axis=-1)
-        points = jnp.take_along_axis(points, order[..., None], axis=1)
-        valid = jnp.take_along_axis(valid, order, axis=-1)
 
         nx, ny = self.grid_size
         sent = nx * ny
-        uids, slot, count = jax.vmap(
-            lambda i: asx.compact_unique_sorted(i, capacity, sent)
-        )(ids)
+        if pre is not None:
+            ids, slot = pre["ids"], pre["slot"]
+            uids, count = pre["uids"], pre["count"]
+            valid = ids < sent
+        else:
+            coords, in_range = voxelize.compute_pillar_coords(
+                points[..., :2], self.point_cloud_range, self.voxel_size, self.grid_size
+            )
+            valid = point_mask & in_range
+            ids = voxelize.pillar_ids(coords, valid, self.grid_size)
+
+            order = jnp.argsort(ids, axis=-1)
+            ids = jnp.take_along_axis(ids, order, axis=-1)
+            points = jnp.take_along_axis(points, order[..., None], axis=1)
+            valid = jnp.take_along_axis(valid, order, axis=-1)
+
+            uids, slot, count = jax.vmap(
+                lambda i: asx.compact_unique_sorted(i, capacity, sent)
+            )(ids)
 
         mean = (
             self._slot_mean(points[..., 0:3], valid, slot, capacity)
@@ -294,8 +306,8 @@ class DynamicPillarVFESparse(DynamicPillarVFESimple2D):
     capacity: int = 65536
 
     @nn.compact
-    def __call__(self, points, point_mask, train: bool):
-        return self.encode_table(points, point_mask, train, self.capacity)
+    def __call__(self, points, point_mask, train: bool, pre=None):
+        return self.encode_table(points, point_mask, train, self.capacity, pre)
 
 
 class MeanVFE(nn.Module):

@@ -103,6 +103,7 @@ def main():
         logger=logger, training=True, seed=args.seed, total_epochs=epochs,
         merge_all_iters_to_one_epoch=args.merge_all_iters_to_one_epoch,
         process_index=jax.process_index(), process_count=jax.process_count(),
+        model_cfg=cfg.MODEL,
     )
 
     dataset_info = {
@@ -122,7 +123,7 @@ def main():
 
     # sample batch for init
     sample_batch, _ = next(iter(train_loader))
-    sample_batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+    sample_batch = jax.tree.map(jnp.asarray, sample_batch)
 
     total_steps = len(train_loader) * epochs
     frozen = [
@@ -183,7 +184,7 @@ def main():
                     donate_argnums=(0,))
 
     def shard_fn(batch):
-        return {k: jax.device_put(jnp.asarray(v), dp) for k, v in batch.items()}
+        return jax.tree.map(lambda v: jax.device_put(jnp.asarray(v), dp), batch)
 
     try:
         from tensorboardX import SummaryWriter
