@@ -139,6 +139,33 @@ def as_tables(uids1: np.ndarray, hw: Tuple[int, int], caps, dense_from: int):
     return tables
 
 
+def mask_pyramid(uids: np.ndarray, hw: Tuple[int, int], n_levels: int = 3):
+    """Dilated occupancy masks for the strided stages, from the stage-1
+    active set: level k = max_pool_mask(level k-1, 3, 2, 1) — the strided
+    SparseConv2d's active-set growth (models/layers.py:396). On the TPU the
+    XLA reduce_window ran at 5-16 GB/s (~8 ms/step, PERF.md r4); here it is
+    9 numpy slice-ORs per level on the prefetch thread. Returns a tuple of
+    (B, H/2^k, W/2^k) bool maps, k = 1..n_levels."""
+    h, w = hw
+    b = uids.shape[0]
+    m = np.zeros((b, h * w + 1), bool)
+    np.put_along_axis(m, np.minimum(uids, h * w), True, axis=1)
+    m = m[:, :h * w].reshape(b, h, w)
+    out = []
+    for _ in range(n_levels):
+        hh, ww = m.shape[1], m.shape[2]
+        p = np.zeros((b, hh + 2, ww + 2), bool)
+        p[:, 1:-1, 1:-1] = m
+        nxt = np.zeros((b, hh // 2, ww // 2), bool)
+        for dy in range(3):
+            for dx in range(3):
+                np.logical_or(
+                    nxt, p[:, dy:dy + hh:2, dx:dx + ww:2], out=nxt)
+        m = nxt
+        out.append(m)
+    return tuple(out)
+
+
 def _is_as(bk: dict) -> bool:
     return bk.get("NAME", "PillarRes18BackBone8x").endswith("_AS")
 
@@ -170,11 +197,18 @@ class HostPrecompute:
             )
 
         self.lidar_cap: Optional[int] = None
+        self.lidar_as: Optional[dict] = None
+        self.lidar_s2dt = False
         bk = model_cfg.get("BACKBONE_3D", {}) if "VFE" in model_cfg else {}
         if _is_as(bk):
             self.lidar_cap = caps_of(bk)[0]
+            self.lidar_as = {
+                "caps": caps_of(bk),
+                "dense_from": int(bk.get("DENSE_FROM", 3)),
+            }
         elif _is_table_s2d(bk):
             self.lidar_cap = int(bk.get("TABLE_CAPACITY", 163840))
+            self.lidar_s2dt = True
 
         self.radar_cap: Optional[int] = None
         self.radar_as: Optional[dict] = None
@@ -196,6 +230,14 @@ class HostPrecompute:
             )
             batch["points"], batch["points_mask"] = pts, msk
             batch["hp_lidar"] = pre
+            if self.lidar_as is not None:
+                batch["hp_as_lidar"] = as_tables(
+                    pre["uids"], (ny, nx), self.lidar_as["caps"],
+                    self.lidar_as["dense_from"],
+                )
+            if self.lidar_s2dt:
+                # the S2D teacher's strided-stage occupancy masks
+                batch["hp_masks"] = mask_pyramid(pre["uids"], (ny, nx), 3)
         # radar-only eval datasets carry the radar returns in `points`
         # (detector.py fallback); precompute from whichever key the model
         # will read

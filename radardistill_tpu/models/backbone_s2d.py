@@ -310,17 +310,18 @@ class S2DBasicBlock(nn.Module):
             # int8 chain: whole link (int8 MXU conv + dequant·BN·relu·mask·
             # requant epilogue) as ONE fused Pallas kernel — expressed in
             # XLA the int32 conv output round-trips HBM and the chain LOSES
-            # to bf16 (PERF.md r3)
-            from ..ops.pallas_int8_conv import int8_block_conv
+            # to bf16 (PERF.md r3). v2 kernel: compact 4-phase mask, halo
+            # DMA'd in-kernel (the v1 lax.pad + lane-expanded mask cost
+            # ~2.3 ms/conv of pure copies at stage 1 — PERF.md r4)
+            from ..ops.pallas_conv_block import int8_block
 
-            mq = _phase_mask_flat(mask_p, c).astype(jnp.int8)
+            mc = mask_p.astype(jnp.int8)
             kq1, sw1, b1 = conv1(None, pieces=True)
             gt1, sh1, bnd1 = bn1(None, mask_p, False, affine=True)
-            q1 = int8_block_conv(x, kq1, sw1, b1, gt1, sh1, bnd1, mq)
+            q1 = int8_block(x, kq1, sw1, b1, gt1, sh1, bnd1, mc)
             kq2, sw2, b2 = conv2(None, pieces=True)
             gt2, sh2, bnd2 = bn2(None, mask_p, False, affine=True)
-            return int8_block_conv(q1, kq2, sw2, b2, gt2, sh2, bnd2, mq,
-                                   res=x)
+            return int8_block(q1, kq2, sw2, b2, gt2, sh2, bnd2, mc, res=x)
 
         m = _phase_mask_flat(mask_p, c).astype(x.dtype)
         y = conv1(x)
@@ -341,14 +342,18 @@ class S2DDownBlock(nn.Module):
     int8: bool = False
     int8_static: bool = False
     int8_carry: bool = False   # keep the chain int8 into the next stage
+    fp_next: bool = False      # next stage runs the fused-fp chain: emit the
+                               # terminus float LANE-PADDED (DMA alignment)
 
     @nn.compact
-    def __call__(self, x_packed, mask, train):
+    def __call__(self, x_packed, mask, train, new_mask=None):
         from .layers import int8_conv, int8_qkernel
 
         # mask: ORIGINAL-resolution (B, H, W) occupancy (tiny; bookkeeping
-        # stays at original resolution)
-        new_mask = max_pool_mask(mask, 3, 2, 1)
+        # stays at original resolution); new_mask: optionally host-built
+        # (data/host_precompute.mask_pyramid)
+        if new_mask is None:
+            new_mask = max_pool_mask(mask, 3, 2, 1)
         k, _ = _ConvScope(self.cin, self.features, False, name="conv")()
         bn = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE,
                              dtype=self.dtype, name="bn")
@@ -356,19 +361,23 @@ class S2DDownBlock(nn.Module):
             # chain CONTINUES (INT8_STAGES >= 2): the 2x2 packed-grid down
             # conv runs as the fused Pallas link, emitting the stage-2 int8
             # carry (backbone_sparse2d.SparseBasicBlock consumes it)
-            from .backbone_sparse2d import _lane_mask_q
-            from ..ops.pallas_int8_conv import int8_block_conv
+            from ..ops.pallas_conv_block import int8_block
 
             kq, sw = int8_qkernel(pack_down_kernel(
                 k.astype(jnp.float32), self.cin, self.features))
             gt, sh, bnd_o = bn(kq, new_mask, False, affine=True)
-            mq = _lane_mask_q(new_mask, self.features)
-            return int8_block_conv(
-                x_packed, kq, sw, None, gt, sh, bnd_o, mq), new_mask
+            return int8_block(
+                x_packed, kq, sw, None, gt, sh, bnd_o,
+                new_mask[..., None].astype(jnp.int8)), new_mask
         if self.int8_static and not train:
             # chain TERMINUS: consume the int8 carry with one XLA int8 conv
             # and return FLOAT — stage 2 runs the float path (the stage-2
-            # C=64 shapes are where int8 stops paying; PERF.md r3)
+            # C=64 shapes are where int8 stops paying; PERF.md r3). A fused
+            # deq_out kernel variant was MEASURED WORSE here (r4: 12.2 vs
+            # 5.5 ms — the kernel must write the lane-PADDED bf16 output
+            # (Mosaic 128-lane accumulator slices) + a slice copy, 2.5x the
+            # bytes of this link's real output; it also degraded the
+            # downstream stage-2 convs' layouts).
             from .layers import int8_conv_affine
 
             kq, sw = int8_qkernel(pack_down_kernel(
@@ -376,7 +385,11 @@ class S2DDownBlock(nn.Module):
             gt, sh, _ = bn(kq, new_mask, False, affine=True)
             y = int8_conv_affine(x_packed, kq, sw, None, gt, sh, 1, ((1, 0), (1, 0)))
             y = nn.relu(y) * new_mask[..., None].astype(jnp.float32)
-            return y.astype(self.dtype or jnp.float32), new_mask
+            y = y.astype(self.dtype or jnp.float32)
+            if self.fp_next and y.shape[-1] % 128:
+                y = jnp.pad(y, ((0, 0), (0, 0), (0, 0),
+                                (0, 128 - y.shape[-1] % 128)))
+            return y, new_mask
         dt = self.dtype or x_packed.dtype
         if self.int8:
             kp = pack_down_kernel(k, self.cin, self.features)
@@ -458,6 +471,13 @@ class PillarRes18BackBone8xS2D(nn.Module):
     # (The r3 "packed stage-2 int8 loses" result was the PACKED-subm 4x-FLOP
     # formulation + XLA links; this chain keeps stages 2+ UNPACKED.)
     int8_stages: int = 1
+    # frozen-teacher fused bf16 chain for stages the int8 chain does NOT
+    # cover (int8 stage 2+ quality-rejected — PERF.md r3): stages
+    # 2..fp_stages run conv+BN-affine+relu+mask as fused Pallas links
+    # (ops/pallas_conv_block.fp_block_conv) in eval/frozen forward.
+    # Numerically the float path at bf16 resolution; breaks the N=64 lane
+    # wall the 720² stage-2 convs sit at (PERF.md r4). 0 = off.
+    fp_stages: int = 0
     # table input: consume the sparse VFE's (table, uids) directly and
     # densify straight INTO the packed layout (ops/active_site.py
     # densify_packed) — the dense stride-1 grid never exists in unpacked
@@ -467,7 +487,13 @@ class PillarRes18BackBone8xS2D(nn.Module):
     hw: Any = None              # static (H, W), required when table_input
 
     @nn.compact
-    def __call__(self, bev, mask, train: bool) -> Dict[str, jnp.ndarray]:
+    def __call__(self, bev, mask, train: bool, hp_masks=None) -> Dict[str, jnp.ndarray]:
+        # hp_masks: optional host-built strided-stage occupancy masks
+        # (data/host_precompute.mask_pyramid levels 720²/360²/180²) — the
+        # device then skips the 5-16 GB/s reduce_window dilations
+        m2h, m3h, m4h = hp_masks if hp_masks is not None else (None,) * 3
+        if self.pack_stage2:
+            m2h = m3h = m4h = None  # pack branch keeps its own mask path
         entry_src = None
         if self.table_input:
             from ..ops import active_site as asx
@@ -514,6 +540,12 @@ class PillarRes18BackBone8xS2D(nn.Module):
         qs3 = qs and stages >= 3
         qs4 = qs and stages >= 4
         qs5 = qs and stages >= 5
+        # fused-fp chain flags: only where the int8 chain does NOT run
+        fp = (not train) and not self.pack_stage2
+        fp2 = fp and self.fp_stages >= 2 and not qs2
+        fp3 = fp and self.fp_stages >= 3 and not qs3
+        fp4 = fp and self.fp_stages >= 4 and not qs4
+        fp5 = fp and self.fp_stages >= 5 and not qs5
 
         if self.pack_stage2:
             # conv2: packed->packed down + 2 packed blocks at (360², 256).
@@ -535,26 +567,38 @@ class PillarRes18BackBone8xS2D(nn.Module):
             # UNPACKED through the later stages as fused Pallas links.
             x, mask2 = S2DDownBlock(
                 32, 64, self.dtype, int8=q, int8_static=qs, int8_carry=qs2,
-                name="conv2_down")(x1p, mask, train)
-            x = SparseBasicBlock(64, self.dtype, int8=q, int8_static=qs2, name="conv2_0")(x, mask2, train)
-            x2c = SparseBasicBlock(64, self.dtype, int8=q, int8_static=qs2, name="conv2_1")(x, mask2, train)
-            x2 = dq(x2c) if qs2 else x2c
+                fp_next=fp2, name="conv2_down")(x1p, mask, train, m2h)
+            x = SparseBasicBlock(64, self.dtype, int8=q, int8_static=qs2,
+                                 fp_block=fp2, name="conv2_0")(x, mask2, train)
+            x2c = SparseBasicBlock(64, self.dtype, int8=q, int8_static=qs2,
+                                   fp_block=fp2, name="conv2_1")(x, mask2, train)
+            # fp chain carries the stage LANE-PADDED; slice real channels at
+            # the tap (x_conv2 is unconsumed in the distill path -> DCE'd)
+            x2 = dq(x2c) if qs2 else (
+                x2c[..., :64] if fp2 and x2c.shape[-1] != 64 else x2c)
             x2p = None
 
             # conv3 (int8 chain if INT8_STAGES >= 3, else float from here)
+            x3_in = x2c
+            if fp2 and not fp3 and x2c.shape[-1] != 64:
+                x3_in = x2c[..., :64]  # float conv3_down needs real lanes
             x, mask3 = SparseDownBlock(
                 128, self.dtype, int8=q, int8_static=qs2, int8_carry=qs3,
-                name="conv3_down")(x2c, mask2, train)
-        x = SparseBasicBlock(128, self.dtype, int8=q, int8_static=qs3, name="conv3_0")(x, mask3, train)
-        x3c = SparseBasicBlock(128, self.dtype, int8=q, int8_static=qs3, name="conv3_1")(x, mask3, train)
+                fp_block=fp3, name="conv3_down")(x3_in, mask2, train, m3h)
+        x = SparseBasicBlock(128, self.dtype, int8=q, int8_static=qs3,
+                             fp_block=fp3, name="conv3_0")(x, mask3, train)
+        x3c = SparseBasicBlock(128, self.dtype, int8=q, int8_static=qs3,
+                               fp_block=fp3, name="conv3_1")(x, mask3, train)
         x3 = dq(x3c) if qs3 else x3c
 
         # conv4
         x, mask4 = SparseDownBlock(
             256, self.dtype, int8=q, int8_static=qs3, int8_carry=qs4,
-            name="conv4_down")(x3c, mask3, train)
-        x = SparseBasicBlock(256, self.dtype, int8=q, int8_static=qs4, name="conv4_0")(x, mask4, train)
-        x4c = SparseBasicBlock(256, self.dtype, int8=q, int8_static=qs4, name="conv4_1")(x, mask4, train)
+            fp_block=fp4, name="conv4_down")(x3c, mask3, train, m4h)
+        x = SparseBasicBlock(256, self.dtype, int8=q, int8_static=qs4,
+                             fp_block=fp4, name="conv4_0")(x, mask4, train)
+        x4c = SparseBasicBlock(256, self.dtype, int8=q, int8_static=qs4,
+                               fp_block=fp4, name="conv4_1")(x, mask4, train)
         x4 = dq(x4c) if qs4 else x4c
 
         # conv5: dense stride-2 stage
@@ -582,6 +626,25 @@ class PillarRes18BackBone8xS2D(nn.Module):
                 bnd5, mq5)
             x = DenseBasicBlock(256, self.dtype, int8=q, int8_static=True, name="conv5_0")(x, train)
             x5 = dq(DenseBasicBlock(256, self.dtype, int8=q, int8_static=True, name="conv5_1")(x, train))
+        elif fp5:
+            # fused-fp conv5: stride-2 dense conv as a 2x2 conv on the
+            # space-to-depth packing (plain eval-BN affine, all-ones mask)
+            from ..ops.pallas_conv_block import fp_block_conv
+
+            dt5 = self.dtype or x4.dtype
+            conv5 = Conv2dTorch(256, 3, 2, 1, use_bias=False,
+                                dtype=self.dtype, name="conv5_down_conv")
+            k5, _ = conv5(x4, raw=True)
+            kp5 = pack_down_kernel(k5.astype(jnp.float32), 256, 256)
+            bn5 = BatchNormTorch(BN_EPS_BACKBONE, BN_MOM_BACKBONE,
+                                 dtype=self.dtype, name="conv5_down_bn")
+            gt5, sh5, _ = bn5(k5, False, affine=True)
+            ones5 = jnp.ones(
+                (x4.shape[0], x4.shape[1] // 2, x4.shape[2] // 2, 1), jnp.int8)
+            x = fp_block_conv(space_to_depth(x4.astype(dt5)), kp5, None,
+                              gt5, sh5, ones5)
+            x = DenseBasicBlock(256, self.dtype, fp_block=True, name="conv5_0")(x, train)
+            x5 = DenseBasicBlock(256, self.dtype, fp_block=True, name="conv5_1")(x, train)
         else:
             x = Conv2dTorch(256, 3, 2, 1, use_bias=False, dtype=self.dtype, int8=q, name="conv5_down_conv")(x4)
             x = BatchNormTorch(BN_EPS_BACKBONE, BN_MOM_BACKBONE, dtype=self.dtype, name="conv5_down_bn")(x, train)

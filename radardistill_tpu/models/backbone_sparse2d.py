@@ -80,16 +80,21 @@ class SparseDownBlock(nn.Module):
     int8: bool = False
     int8_static: bool = False
     int8_carry: bool = False
+    fp_block: bool = False   # frozen-teacher fused bf16 link (eval only)
 
     @nn.compact
-    def __call__(self, x, mask, train):
-        new_mask = max_pool_mask(mask, 3, 2, 1)
+    def __call__(self, x, mask, train, new_mask=None):
+        # new_mask: optionally host-precomputed (data/host_precompute.
+        # mask_pyramid) — the XLA reduce_window dilation ran at 5-16 GB/s
+        # (~8 ms/step across the strided stages, PERF.md r4)
+        if new_mask is None:
+            new_mask = max_pool_mask(mask, 3, 2, 1)
         conv = Conv2dTorch(self.features, 3, 2, 1, use_bias=False, dtype=self.dtype, int8=self.int8, name="conv")
         bn = MaskedBatchNorm(eps=BN_EPS_BACKBONE, momentum=BN_MOM_BACKBONE, dtype=self.dtype, name="bn")
         if self.int8_static and not train:
             from .backbone_s2d import pack_down_kernel, space_to_depth
             from .layers import deq8, int8_qkernel
-            from ..ops.pallas_int8_conv import int8_block_conv
+            from ..ops.pallas_conv_block import int8_block
 
             xq, bnd, zero = x
             cin = xq.shape[-1]
@@ -97,13 +102,36 @@ class SparseDownBlock(nn.Module):
             kq, sw = int8_qkernel(
                 pack_down_kernel(k.astype(jnp.float32), cin, self.features))
             gt, sh, bnd_o = bn(kq, new_mask, False, affine=True)
-            mq = _lane_mask_q(new_mask, self.features)
-            out = int8_block_conv(
+            out = int8_block(
                 (space_to_depth(xq), bnd, zero), kq, sw, None, gt, sh,
-                bnd_o, mq)
+                bnd_o, new_mask[..., None].astype(jnp.int8))
             if self.int8_carry:
                 return out, new_mask
             return deq8(*out).astype(self.dtype or jnp.float32), new_mask
+        if self.fp_block and not train:
+            # frozen-teacher fused bf16 link: the strided SparseConv2d as a
+            # 2x2 conv on the space-to-depth packing (same tap algebra as
+            # the int8 chain's down link), BN-affine+relu+mask fused. The
+            # incoming carry may be lane-padded (PillarRes18 doubles
+            # channels per stage, so the real cin is features//2); the
+            # packed kernel's pad rows are zero.
+            from .backbone_s2d import pack_down_kernel, space_to_depth
+            from ..ops.pallas_conv_block import fp_block_conv
+
+            dt = self.dtype or x.dtype
+            cin = self.features // 2
+            assert x.shape[-1] in (cin, -(-cin // 128) * 128), x.shape
+            k, _ = conv(x[..., :cin], raw=True)
+            kf = k.astype(jnp.float32)
+            if x.shape[-1] != cin:  # padded carry: zero kernel rows
+                kf = jnp.pad(kf, ((0, 0), (0, 0),
+                                  (0, x.shape[-1] - cin), (0, 0)))
+            kp = pack_down_kernel(kf, x.shape[-1], self.features)
+            gt, sh, _ = bn(kp, new_mask, False, affine=True)
+            y = fp_block_conv(
+                space_to_depth(x.astype(dt)), kp, None, gt, sh,
+                new_mask[..., None].astype(jnp.int8), keep_pad=True)
+            return y, new_mask
         y = conv(x)
         y = bn(y, new_mask, train)
         y = nn.relu(y)
@@ -121,6 +149,7 @@ class SparseBasicBlock(nn.Module):
     dtype: Any = None
     int8: bool = False
     int8_static: bool = False
+    fp_block: bool = False   # frozen-teacher fused bf16 links (eval only)
 
     @nn.compact
     def __call__(self, x, mask, train):
@@ -132,17 +161,36 @@ class SparseBasicBlock(nn.Module):
             # frozen-teacher chain: both links as fused Pallas int8 kernels,
             # residual added on the second link's accumulator (same algebra
             # as backbone_s2d.S2DBasicBlock's chain path)
-            from ..ops.pallas_int8_conv import int8_block_conv
+            from ..ops.pallas_conv_block import int8_block
 
             xq = x[0]
-            mq = _lane_mask_q(mask, self.features)
+            mc = mask[..., None].astype(jnp.int8)
             kq1, sw1, b1 = conv1(xq, qpieces=True)
             gt1, sh1, bnd1 = bn1(xq, mask, False, affine=True)
-            q1 = int8_block_conv(x, kq1, sw1, b1, gt1, sh1, bnd1, mq)
+            q1 = int8_block(x, kq1, sw1, b1, gt1, sh1, bnd1, mc)
             kq2, sw2, b2 = conv2(xq, qpieces=True)
             gt2, sh2, bnd2 = bn2(xq, mask, False, affine=True)
-            return int8_block_conv(q1, kq2, sw2, b2, gt2, sh2, bnd2, mq,
-                                   res=x)
+            return int8_block(q1, kq2, sw2, b2, gt2, sh2, bnd2, mc, res=x)
+        if self.fp_block and not train:
+            # frozen-teacher fused bf16 links (stages where int8 quality-
+            # rejected): conv+BN-affine+relu+mask in one kernel per link,
+            # residual on the second link's accumulator. The carry may be
+            # LANE-PADDED to 128 (kernel DMA alignment — pallas_conv_block
+            # docstring); param shapes come from the real channel count and
+            # the block returns keep_pad'ed so the chain pads once.
+            from ..ops.pallas_conv_block import fp_block_conv
+
+            dt = self.dtype or x.dtype
+            x = x.astype(dt)
+            xs = x[..., :self.features]  # real channels (param shapes only)
+            mc = mask[..., None].astype(jnp.int8)
+            k1, b1 = conv1(xs, raw=True)
+            gt1, sh1, _ = bn1(xs, mask, False, affine=True)
+            y = fp_block_conv(x, k1, b1, gt1, sh1, mc, keep_pad=True)
+            k2, b2 = conv2(xs, raw=True)
+            gt2, sh2, _ = bn2(xs, mask, False, affine=True)
+            return fp_block_conv(y, k2, b2, gt2, sh2, mc, res=x,
+                                 keep_pad=True)
         m = mask[..., None].astype(x.dtype)
         y = conv1(x)
         y = bn1(y, mask, train)
@@ -159,6 +207,7 @@ class DenseBasicBlock(nn.Module):
     dtype: Any = None
     int8: bool = False
     int8_static: bool = False
+    fp_block: bool = False   # frozen-teacher fused bf16 links (eval only)
 
     @nn.compact
     def __call__(self, x, train):
@@ -170,17 +219,28 @@ class DenseBasicBlock(nn.Module):
             # frozen-teacher chain at the dense conv5 stage: no sparsity —
             # the epilogue mask is all-ones (it still kills the kernel's
             # internal W-pad columns, which pad the mask with 0)
-            from ..ops.pallas_int8_conv import int8_block_conv
+            from ..ops.pallas_conv_block import int8_block
 
             xq = x[0]
-            mq = jnp.ones(xq.shape[:3] + (self.features,), jnp.int8)
+            mc = jnp.ones(xq.shape[:3] + (1,), jnp.int8)
             kq1, sw1, b1 = conv1(xq, qpieces=True)
             gt1, sh1, bnd1 = bn1(xq, False, affine=True)
-            q1 = int8_block_conv(x, kq1, sw1, b1, gt1, sh1, bnd1, mq)
+            q1 = int8_block(x, kq1, sw1, b1, gt1, sh1, bnd1, mc)
             kq2, sw2, b2 = conv2(xq, qpieces=True)
             gt2, sh2, bnd2 = bn2(xq, False, affine=True)
-            return int8_block_conv(q1, kq2, sw2, b2, gt2, sh2, bnd2, mq,
-                                   res=x)
+            return int8_block(q1, kq2, sw2, b2, gt2, sh2, bnd2, mc, res=x)
+        if self.fp_block and not train:
+            from ..ops.pallas_conv_block import fp_block_conv
+
+            dt = self.dtype or x.dtype
+            x = x.astype(dt)
+            mc = jnp.ones(x.shape[:3] + (1,), jnp.int8)
+            k1, b1 = conv1(x, raw=True)
+            gt1, sh1, _ = bn1(x, False, affine=True)
+            y = fp_block_conv(x, k1, b1, gt1, sh1, mc)
+            k2, b2 = conv2(x, raw=True)
+            gt2, sh2, _ = bn2(x, False, affine=True)
+            return fp_block_conv(y, k2, b2, gt2, sh2, mc, res=x)
         y = conv1(x)
         y = bn1(y, train)
         y = nn.relu(y)

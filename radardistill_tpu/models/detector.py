@@ -298,7 +298,8 @@ class PillarNet(nn.Module):
                 )
                 tfeats, tuids = self._stop("vfe", (tfeats, tuids))
                 ms = self.backbone_3d(
-                    tfeats, tuids, self._maybe_freeze("backbone_3d", train)
+                    tfeats, tuids, self._maybe_freeze("backbone_3d", train),
+                    batch.get("hp_as_lidar"),
                 )
                 out["as_overflow"] = out.get("as_overflow", 0) + ms.get(
                     "as_overflow", 0
@@ -310,7 +311,8 @@ class PillarNet(nn.Module):
                 )
                 tfeats, tuids = self._stop("vfe", (tfeats, tuids))
                 ms = self.backbone_3d(
-                    tfeats, tuids, self._maybe_freeze("backbone_3d", train)
+                    tfeats, tuids, self._maybe_freeze("backbone_3d", train),
+                    batch.get("hp_masks"),
                 )
                 out["as_overflow"] = out.get("as_overflow", 0) + jnp.sum(
                     jnp.maximum(tcnt - self.vfe.capacity, 0)

@@ -187,6 +187,11 @@ def apply_bench_backbone_env(cfg):
     stg = os.environ.get("BENCH_INT8_STAGES", "")
     if stg and "BACKBONE_3D" in cfg:
         cfg.BACKBONE_3D.INT8_STAGES = int(stg)
+    # BENCH_FP_STAGES=n: fused bf16 chain depth for stages the int8 chain
+    # does not cover (dev A/B)
+    fps = os.environ.get("BENCH_FP_STAGES", "")
+    if fps and "BACKBONE_3D" in cfg:
+        cfg.BACKBONE_3D.FP_STAGES = int(fps)
     as_mode = os.environ.get("BENCH_AS", "")
     if as_mode == "0" and "RADAR_BACKBONE_3D" in cfg:
         _strip(cfg.RADAR_BACKBONE_3D, ("_AS",))

@@ -219,6 +219,51 @@ def test_backbone_tables_forward_and_grads_equal(dense_from):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
 
 
+def test_mask_pyramid_matches_device():
+    from radardistill_tpu.data.host_precompute import mask_pyramid
+    from radardistill_tpu.models.layers import max_pool_mask
+
+    pts, mask = _points(n=900, spread=40.0)
+    _, _, pre = pillar_encode(pts, mask, PC, VS, (GRID, GRID), CAP)
+    host = mask_pyramid(pre["uids"], (GRID, GRID), 3)
+
+    uids = jnp.asarray(pre["uids"])
+    m = jnp.zeros((2, GRID * GRID + 1), bool).at[
+        jnp.arange(2)[:, None], jnp.minimum(uids, GRID * GRID)
+    ].set(True)[:, :GRID * GRID].reshape(2, GRID, GRID)
+    for k in range(3):
+        m = max_pool_mask(m, 3, 2, 1)
+        np.testing.assert_array_equal(
+            np.asarray(host[k]), np.asarray(m), err_msg=f"level {k}")
+
+
+def test_hp_as_teacher_tables():
+    """AS-teacher configs get host rulebooks too (hp_as_lidar), and the
+    backbone consumes them bit-identically."""
+    from radardistill_tpu.utils.testing import make_model_cfg
+
+    cfg, info = make_model_cfg(grid=64, num_max_objs=32, k_per_head=16, nms_post=8)
+    cfg.BACKBONE_3D.NAME = "PillarRes18BackBone8x_AS"
+    cfg.BACKBONE_3D.MAX_ACTIVE = [512, 512, 512, 512]
+    cfg.BACKBONE_3D.DENSE_FROM = 3
+    hp = HostPrecompute(cfg, info["grid_size"], info["voxel_size"],
+                        info["point_cloud_range"])
+    assert hp.lidar_cap == 512 and hp.lidar_as is not None
+    pts, mask = _points()
+    batch = {"points": pts, "points_mask": mask}
+    out = hp(batch)
+    assert "hp_lidar" in out and "hp_as_lidar" in out
+    dev = _device_tables(out["hp_lidar"]["uids"], (GRID, GRID),
+                         (512, 512, 512, 512), 3)
+    for k in dev:
+        hv, dv = out["hp_as_lidar"][k], dev[k]
+        if isinstance(dv, tuple):
+            for a, b in zip(hv, dv):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        else:
+            np.testing.assert_array_equal(np.asarray(hv), np.asarray(dv))
+
+
 def test_full_model_hp_equivalence():
     """Detector forward with host-precomputed batch == without (bit-exact)."""
     from radardistill_tpu.data.collate import collate_batch
@@ -247,6 +292,7 @@ def test_full_model_hp_equivalence():
                         info["point_cloud_range"])
     b1 = hp(dict(b0))
     assert "hp_lidar" in b1 and "hp_radar" in b1 and "hp_as" in b1
+    assert "hp_masks" in b1  # TABLE_INPUT S2D teacher: host mask pyramid
 
     batch0 = jax.tree.map(jnp.asarray, b0)
     batch1 = jax.tree.map(jnp.asarray, b1)
