@@ -114,7 +114,7 @@ class StackedSubHead(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train):
+    def __call__(self, x, train, phase: str = "full"):
         # x: (B, H, W, C_shared) — UNTILED. The reference tiles x n-ways and
         # runs grouped convs; a grouped conv whose every input group is the
         # same x is exactly a DENSE conv on x with the identical
@@ -125,6 +125,12 @@ class StackedSubHead(nn.Module):
         # stay on the fast conv path. Param tree unchanged.
         # non-hm subheads get torch kaiming_normal_ init, hm keeps conv
         # defaults (center_head.py:29-36)
+        #
+        # ``phase`` supports CenterHead's MERGED-hidden execution (same
+        # params, one conv+BN+relu across ALL subheads — CenterHead
+        # docstring): "pieces" creates/returns the conv_0 + bn_0 params;
+        # "tail" consumes the externally normalized hidden slice and runs
+        # this subhead's conv_out. "full" = standalone per-subhead path.
         from .layers import conv_kernel_init_torch
 
         kinit = conv_kernel_init_torch if self.init_bias is not None else kaiming_normal_torch
@@ -133,6 +139,27 @@ class StackedSubHead(nn.Module):
             if self.init_bias is not None:
                 return jnp.full(shape, self.init_bias, dtype)
             return jnp.zeros(shape, dtype)
+
+        if phase == "pieces":
+            assert self.num_conv == 2, self.num_conv
+            k0, b0 = Conv2dTorch(
+                self.num_heads * x.shape[-1], 3, 1, 1,
+                use_bias=self.use_bias, kernel_init=kinit,
+                dtype=self.dtype, name="conv_0",
+            )(x, raw=True)
+            bnp = BatchNormTorch(dtype=self.dtype, name="bn_0")(
+                jnp.zeros((1, self.num_heads * x.shape[-1]), x.dtype),
+                train, pieces=True)  # shape hint only (hidden width)
+            return k0, b0, bnp
+
+        if phase == "tail":
+            y = _BlockDiagConv(
+                num_heads=self.num_heads, out_per_head=self.out_channels,
+                kernel_init=kinit, bias_init=final_bias_init,
+                dtype=self.dtype, name="conv_out",
+            )(x)
+            b, h, w, _ = y.shape
+            return y.reshape(b, h, w, self.num_heads, self.out_channels)
 
         first = True
         for k in range(self.num_conv - 1):
@@ -191,17 +218,73 @@ class CenterHead(nn.Module):
         # no tiling: the subheads' first conv folds the n-way replication
         # into a dense conv on the shared features (see StackedSubHead)
 
-        preds = {}
+        subs = []
         for name, out_ch in REG_HEADS:
             if name == "iou" and not self.with_iou:
                 continue
-            preds[name] = StackedSubHead(
-                n, out_ch, 2, self.use_bias_before_norm, dtype=self.dtype, name=name
-            )(x, train)
-        preds["hm"] = StackedSubHead(
+            subs.append((name, StackedSubHead(
+                n, out_ch, 2, self.use_bias_before_norm, dtype=self.dtype,
+                name=name)))
+        subs.append(("hm", StackedSubHead(
             n, self.spec.max_cls, self.num_hm_conv, self.use_bias_before_norm,
-            init_bias=-2.19, dtype=self.dtype, name="hm",
-        )(x, train)
+            init_bias=-2.19, dtype=self.dtype, name="hm")))
+
+        import os
+
+        merged = (self.num_hm_conv == 2
+                  and os.environ.get("HEAD_MERGED", "1") != "0")
+        if not merged:
+            return {name: sh(x, train) for name, sh in subs}
+
+        # MERGED hidden: the 7 per-subhead conv_0(64->n·64)+BN+relu stacks
+        # concatenate along output channels into ONE conv (64 -> 7·n·64,
+        # N=2688 output lanes — top MXU rate vs 7 wall-bound N=384 convs),
+        # ONE merged BN (per-channel statistics are identical to the 7
+        # separate BNs), one relu — same params, same math, 1/7th the
+        # kernel count (the head class was ~16 ms of small-N convs + BN
+        # elementwise passes, PERF.md r4). conv_out stays per-subhead
+        # (block-diagonal; merging it would 7x its FLOPs).
+        pieces = [sh(x, train, phase="pieces") for _, sh in subs]
+        dt = self.dtype or x.dtype
+        kcat = jnp.concatenate([k for k, _, _ in pieces], axis=-1)
+        bcat = jnp.concatenate([b for _, b, _ in pieces], axis=-1)
+        h = jax.lax.conv_general_dilated(
+            x.astype(dt), kcat.astype(dt), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bcat.astype(dt)
+
+        scale = jnp.concatenate([p[2][0] for p in pieces])
+        bias = jnp.concatenate([p[2][1] for p in pieces])
+        if train:
+            # flax nn.BatchNorm semantics (fast variance, f32 stats, torch
+            # momentum convention handled by BatchNormTorch = 0.1)
+            h32 = h.astype(jnp.float32)
+            mean = jnp.mean(h32, axis=(0, 1, 2))
+            var = jnp.maximum(
+                jnp.mean(h32 * h32, axis=(0, 1, 2)) - mean * mean, 0.0)
+            if not self.is_initializing():
+                mom = 0.1  # BN_MOM_DEFAULT (head BNs)
+                off = 0
+                for _, _, (s_, b_, mv, vv) in pieces:
+                    c = s_.shape[0]
+                    mv.value = (1 - mom) * mv.value + mom * mean[off:off + c]
+                    vv.value = (1 - mom) * vv.value + mom * var[off:off + c]
+                    off += c
+        else:
+            mean = jnp.concatenate([p[2][2].value for p in pieces])
+            var = jnp.concatenate([p[2][3].value for p in pieces])
+
+        # flax _normalize promotes stats to the compute dtype BEFORE the
+        # rsqrt — replicate exactly (a f32 rsqrt here would diverge from the
+        # unmerged path at bf16-rsqrt resolution)
+        mul = jax.lax.rsqrt(var.astype(dt) + 1e-5) * scale.astype(dt)
+        y = nn.relu((h - mean.astype(dt)) * mul + bias.astype(dt))
+
+        preds, off = {}, 0
+        for name, sh in subs:
+            c = n * self.shared_channels
+            preds[name] = sh(y[..., off:off + c], train, phase="tail")
+            off += c
         return preds
 
 

@@ -267,7 +267,9 @@ class ConvTranspose2dTorch(nn.Module):
 class _BNVars(nn.Module):
     """The exact param/variable tree flax nn.BatchNorm creates (scale=1,
     bias=0, mean=0, var=1) — lets the int8-static chain read eval-BN pieces
-    without running the normalization."""
+    without running the normalization, and the merged-head path
+    (center_head.py) read/UPDATE them externally (returns the mutable
+    Variable objects for the running stats)."""
 
     features: int
 
@@ -279,7 +281,7 @@ class _BNVars(nn.Module):
             "batch_stats", "mean", lambda: jnp.zeros((self.features,)))
         var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((self.features,)))
-        return scale, bias, mean.value, var.value
+        return scale, bias, mean, var
 
 
 class BatchNormTorch(nn.Module):
@@ -290,12 +292,19 @@ class BatchNormTorch(nn.Module):
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool, affine: bool = False):
+    def __call__(self, x, train: bool, affine: bool = False,
+                 pieces: bool = False):
+        if pieces:
+            # merged-head path (center_head.py): the raw params + MUTABLE
+            # running-stat variables, normalization done by the caller over
+            # the channel-concatenated hidden (numerically the same BN)
+            return _BNVars(x.shape[-1], name="bn")()
         if affine:
             # int8-static chain: eval-mode BN as (γ̃, shift, bound) — same
             # extraction as MaskedBatchNorm.affine (x: channel count only)
             assert not train, "affine extraction is an eval-only path"
-            scale, bias, mean, var = _BNVars(x.shape[-1], name="bn")()
+            scale, bias, mean_v, var_v = _BNVars(x.shape[-1], name="bn")()
+            mean, var = mean_v.value, var_v.value
             gt = jax.lax.rsqrt(var + self.eps) * scale
             shift = bias - mean * gt
             bound = jnp.max(jnp.abs(bias) + INT8_SIGMA * jnp.abs(scale))
