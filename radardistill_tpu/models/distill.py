@@ -69,6 +69,20 @@ class ConvNeXtBlock(nn.Module):
             # (learned) channel mixing the CUDA kernel applies to the
             # reference's cat-ed offsets (modulated_deform_im2col_cuda.cuh)
             offset = jnp.concatenate([o1, o2], axis=-1)
+            # offset-saturation telemetry (VERDICT r3 #5): the TPU kernels
+            # clamp offsets to ±DCN_MAX_OFFSET cells while the reference's
+            # CUDA offsets are unbounded — log the fraction that saturates
+            # so a clamp-hungry CMA is visible (tb `dcn_offset_sat` via the
+            # train step's mutable 'diagnostics' collection; a no-op in
+            # eval/apply without that collection)
+            from ..ops.dcn import dcn_max_offset
+
+            self.sow(
+                "diagnostics", "dcn_offset_sat",
+                jnp.mean(
+                    (jnp.abs(offset.astype(jnp.float32)) > dcn_max_offset()
+                     ).astype(jnp.float32)),
+            )
             m = jax.nn.sigmoid(m)
             w = self.param("down_weight", conv_kernel_init_torch, (3, 3, self.dim, self.dim))
             # the reference's ModulatedDeformConv(bias=False) still CREATES

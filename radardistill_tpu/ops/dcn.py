@@ -20,8 +20,21 @@ channel 2k+1 is Δx (taps in row-major (ki, kj) order).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+def dcn_max_offset() -> int:
+    """Production offset clamp of the Pallas MXU kernels (cells;
+    ±R·stride·voxel in meters — R=5 at stride 8 is ±3 m). The reference's
+    CUDA offsets are UNBOUNDED (modulated_deform_im2col_cuda.cuh) — R is a
+    window/FLOP budget, justified by telemetry: models/distill.py sows the
+    per-step fraction of |offset| > R as tb `dcn_offset_sat` (VERDICT r3
+    #5); persistently nonzero saturation means R must be raised. DCN_R env
+    knob for A/B — read at TRACE time so one process can build both legs
+    (tools/quality_gate.py)."""
+    return int(os.environ.get("DCN_R", "5"))
 
 
 @jax.custom_vjp
@@ -122,7 +135,9 @@ def modulated_deform_conv(
         and jax.devices()[0].platform == "tpu"
         and shapes_supported(x.shape, offset.shape, stride, padding, kernel_size)
     ):
-        return modulated_deform_conv_mxu(x, offset, mask, weight, stride, padding)
+        return modulated_deform_conv_mxu(
+            x, offset, mask, weight, stride, padding,
+            max_offset=dcn_max_offset())
     return _modulated_deform_conv_xla(
         x, offset, mask, weight, stride, padding, kernel_size
     )

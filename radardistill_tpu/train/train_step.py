@@ -65,11 +65,19 @@ def make_train_step(model, tx, model_cfg, class_names, voxel_size, point_cloud_r
             {"params": params, "batch_stats": batch_stats},
             batch,
             True,
-            mutable=["batch_stats"],
+            mutable=["batch_stats", "diagnostics"],
         )
         loss, tb = compute_training_loss(
             model_cfg, out, class_names, voxel_size, point_cloud_range
         )
+        diag = mutated.get("diagnostics")
+        if diag:
+            # sown telemetry scalars (e.g. the CMA's dcn_offset_sat — the
+            # fraction of DCN offsets beyond the kernel clamp, VERDICT r3
+            # #5); average over the sowing modules
+            leaves = jax.tree.leaves(diag)
+            tb["dcn_offset_sat"] = sum(
+                jnp.mean(leaf) for leaf in leaves) / max(len(leaves), 1)
         return loss, (mutated.get("batch_stats", batch_stats), tb)
 
     def _step_core(state: TrainState, batch, reduce_fn):

@@ -55,6 +55,10 @@ def test_train_step_runs_and_loss_decreases(built):
     )
     state1, m1 = step(state, batch)
     assert np.isfinite(float(m1["loss"]))
+    # DCN offset-saturation telemetry (VERDICT r3 #5): sown by the CMA's
+    # downsample blocks, averaged into tb — a fraction in [0, 1]
+    assert "dcn_offset_sat" in m1
+    assert 0.0 <= float(m1["dcn_offset_sat"]) <= 1.0
     losses = [float(m1["loss"])]
     st = state1
     for _ in range(6):
