@@ -188,8 +188,10 @@ class SyntheticDataset(DatasetTemplate):
     `_single` smoke-pkl role)."""
 
     def __init__(self, dataset_cfg, class_names, training=True, root_path=None,
-                 logger=None, num_samples=8):
+                 logger=None, num_samples=None):
         super().__init__(dataset_cfg, class_names, training, root_path, logger)
+        if num_samples is None:
+            num_samples = int(dataset_cfg.get("NUM_SAMPLES", 8))
         self.num_samples = num_samples
 
     def __len__(self):

@@ -139,6 +139,32 @@ def pack_down_kernel(k, cin, cout):
     return kp
 
 
+def wpair_kernel(k):
+    """(3,3,C,Co) stride-1 kernel -> (3,3,2C,2Co) stride-1 kernel on the
+    W-PAIRED layout ((B,H,W,C) -> (B,H,W/2,2C), a free contiguous reshape:
+    lane index = (w%2)*C + c).
+
+    Valid taps: orig dx = 2Δu + p − q ∈ {−1,0,1} (input phase p, output
+    phase q) — 6 of the 12 (Δu,p,q) combos, i.e. the packed kernel is 50%
+    structural zeros. Purpose: C=64 stride-1 convs (teacher stage 2 at
+    720²) pay a 2x N-pad + 2x K-pad MXU tax in the fused fp links
+    (PERF.md r4 FP_STAGES loss); W-pairing makes K=2C=128 and N=3·2Co=384
+    exactly lane-aligned, trading only the 2x structural-zero FLOPs —
+    net ~2x effective MXU rate at the same exact math."""
+    kh, kw, ci, co = k.shape
+    assert kh == 3 and kw == 3, (kh, kw)
+    kp = jnp.zeros((3, 3, 2 * ci, 2 * co), k.dtype)
+    for du in (-1, 0, 1):
+        for p in range(2):
+            for q in range(2):
+                dx = 2 * du + p - q
+                if abs(dx) > 1:
+                    continue
+                kp = kp.at[:, du + 1, p * ci:(p + 1) * ci,
+                           q * co:(q + 1) * co].set(k[:, dx + 1])
+    return kp
+
+
 def pack_down_kernel_packed_out(k, cin, cout):
     """(3,3,Cin,Cout) stride-2 kernel -> (3,3,4Cin,4Cout) stride-2 conv on
     the PACKED input grid producing the PACKED next-stage grid (both grids
@@ -565,9 +591,12 @@ class PillarRes18BackBone8xS2D(nn.Module):
             # INT8_STAGES=1 the chain TERMINATES in the conv2_down link and
             # stage 2+ runs float; with INT8_STAGES >= 2 the chain continues
             # UNPACKED through the later stages as fused Pallas links.
+            # fp_next=False: the C=64 fp links run W-PAIRED (SparseBasic-
+            # Block wpair path) and need the real-lane (..,64) layout — no
+            # lane pad (the pad was the old straight-C=64 form's DMA req)
             x, mask2 = S2DDownBlock(
                 32, 64, self.dtype, int8=q, int8_static=qs, int8_carry=qs2,
-                fp_next=fp2, name="conv2_down")(x1p, mask, train, m2h)
+                fp_next=False, name="conv2_down")(x1p, mask, train, m2h)
             x = SparseBasicBlock(64, self.dtype, int8=q, int8_static=qs2,
                                  fp_block=fp2, name="conv2_0")(x, mask2, train)
             x2c = SparseBasicBlock(64, self.dtype, int8=q, int8_static=qs2,

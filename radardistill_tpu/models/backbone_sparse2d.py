@@ -182,6 +182,33 @@ class SparseBasicBlock(nn.Module):
 
             dt = self.dtype or x.dtype
             x = x.astype(dt)
+            f = self.features
+            b_, h_, w_, cx = x.shape
+            if f % 128 and (2 * f) % 128 == 0 and w_ % 2 == 0:
+                # W-PAIRED fused links for C=64 stages (teacher stage 2 at
+                # 720²): (B,H,W,C) -> (B,H,W/2,2C) is a FREE contiguous
+                # reshape, making K=2C=128 and N=3·2Co=384 exactly lane-
+                # aligned — the straight C=64 fp links paid a 2x K-pad + 2x
+                # N-pad MXU tax and measured a LOSS (PERF.md r4). The
+                # packed kernel's structural zeros (6 of 12 (Δu,p,q) taps)
+                # cost 2x FLOPs at ~2.5x the MXU rate; math is exact
+                # (tests/test_wpair.py).
+                from .backbone_s2d import wpair_kernel
+
+                if cx != f:
+                    x = x[..., :f]  # padded carry: wpair needs real lanes
+                xw = x.reshape(b_, h_, w_ // 2, 2 * f)
+                mw = mask.reshape(b_, h_, w_ // 2, 2).astype(jnp.int8)
+                two = lambda v: jnp.concatenate([v, v])
+                k1, b1 = conv1(x, raw=True)
+                gt1, sh1, _ = bn1(x, mask, False, affine=True)
+                y = fp_block_conv(xw, wpair_kernel(k1), two(b1), two(gt1),
+                                  two(sh1), mw)
+                k2, b2 = conv2(x, raw=True)
+                gt2, sh2, _ = bn2(x, mask, False, affine=True)
+                y = fp_block_conv(y, wpair_kernel(k2), two(b2), two(gt2),
+                                  two(sh2), mw, res=xw)
+                return y.reshape(b_, h_, w_, f)
             xs = x[..., :self.features]  # real channels (param shapes only)
             mc = mask[..., None].astype(jnp.int8)
             k1, b1 = conv1(xs, raw=True)

@@ -32,6 +32,15 @@ BN_EPS_BACKBONE, BN_MOM_BACKBONE = 1e-3, 0.01
 BN_EPS_DEFAULT, BN_MOM_DEFAULT = 1e-5, 0.1
 
 
+def _wide_conv_on() -> bool:
+    """Trace-time gate for the wide-N Pallas conv path (WIDE_CONV env,
+    default on). Numerics: same conv at the operands' dtype resolution
+    (tests/test_wide_conv.py); A/B knob like HEAD_MERGED."""
+    import os
+
+    return os.environ.get("WIDE_CONV", "0") != "0"
+
+
 def kaiming_normal_torch(key, shape, dtype=jnp.float32):
     """torch.nn.init.kaiming_normal_ (fan_in of the conv: in_ch*kh*kw) for
     HWIO kernels."""
@@ -218,6 +227,23 @@ class Conv2dTorch(nn.Module):
             return int8_conv(
                 x, kern, self.stride, ((p, p), (p, p)), bias,
                 out_dtype=self.dtype or x.dtype)
+        if (_wide_conv_on() and k == 3 and self.stride == 1 and p == 1
+                and self.groups == 1 and x.ndim == 4 and x.shape[1] >= 3
+                and x.shape[-1] % 128 == 0 and self.features % 128 == 0):
+            # lane-walled 3x3 convs (Ci, Co 128-multiples): same param tree
+            # ('conv' scope, HWIO kernel — checkpoints interchange), but the
+            # conv runs as ky-stacked N=3*Co Pallas dots at the wide-N MXU
+            # rate (ops/pallas_wide_conv.py; WIDE_CONV=0 reverts to nn.Conv)
+            from ..ops.pallas_wide_conv import conv3x3_wide
+
+            kern, bias = _ConvParams(
+                (k, k, x.shape[-1], self.features), self.features,
+                self.use_bias, self.kernel_init, name="conv")()
+            xw, kern = nn.dtypes.promote_dtype(x, kern, dtype=self.dtype)
+            y = conv3x3_wide(xw, kern)
+            if bias is not None:
+                y = y + nn.dtypes.promote_dtype(bias, dtype=self.dtype)[0]
+            return y
         return nn.Conv(
             self.features,
             (k, k),

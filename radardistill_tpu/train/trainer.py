@@ -83,10 +83,15 @@ def train_model(
                 lr = float(lr_sched(step)) if lr_sched else 0.0
                 it_meter.update(time.time() - t_end)
                 if logger:
+                    # val(avg) like the reference's meters
+                    # (tools/train_utils/train_utils.py:73-124) — the
+                    # instantaneous val is what the production-cert tooling
+                    # parses (the avg includes the first compile step)
                     logger.info(
                         f"epoch {epoch}/{total_epochs} it {i}/{len(train_loader)} "
                         f"loss {loss:.4f} lr {lr:.3e} "
-                        f"t_iter {it_meter.avg:.3f}s t_data {data_meter.avg:.3f}s"
+                        f"t_iter {it_meter.val:.3f}({it_meter.avg:.3f})s "
+                        f"t_data {data_meter.val:.3f}({data_meter.avg:.3f})s"
                     )
                 if tb_writer is not None:
                     tb_writer.add_scalar("train/loss", loss, step)

@@ -50,6 +50,10 @@ def parse_config():
     parser.add_argument("--platform", type=str, default=None, help="jax platform override (cpu for smoke tests)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of the first training steps")
+    parser.add_argument("--log_interval", type=int, default=50,
+                        help="iterations between train-loop log lines; 1 forces a "
+                             "per-step loss readback (honest per-step timing through "
+                             "the axon tunnel — used by the production-cert run)")
     args = parser.parse_args()
 
     from radardistill_tpu.config import ConfigDict, cfg_from_list, cfg_from_yaml_file
@@ -220,7 +224,7 @@ def main():
         start_epoch=start_epoch, logger=logger, tb_writer=tb,
         ckpt_save_interval=args.ckpt_save_interval,
         max_ckpt_save_num=args.max_ckpt_save_num, shard_fn=shard_fn,
-        start_it=start_it,
+        start_it=start_it, log_interval=args.log_interval,
     )
     logger.info("**********************Training done**********************")
 
