@@ -125,9 +125,44 @@ def _wide_call(x, k9, bh, interpret=False):
     )(x, k9)
 
 
+def _wpair(kernel):
+    """(3,3,C,Co) stride-1 kernel -> (3,3,2C,2Co) on the W-PAIRED layout
+    ((B,H,W,C) -> (B,H,W/2,2C), a free contiguous reshape; lane index =
+    (w%2)*C + c). Valid taps: orig dx = 2Δu + p − q ∈ {−1,0,1} (input
+    phase p, output phase q) — 6 of 12 slots, i.e. 50% structural zeros.
+    Same algebra as models/backbone_s2d.wpair_kernel (kept ops-local to
+    avoid an ops→models import; asserted equal in tests/test_wide_conv.py)."""
+    _, kw, ci, co = kernel.shape
+    assert kw == 3
+    kp = jnp.zeros((3, 3, 2 * ci, 2 * co), kernel.dtype)
+    for du in (-1, 0, 1):
+        for p in range(2):
+            for q in range(2):
+                dx = 2 * du + p - q
+                if abs(dx) > 1:
+                    continue
+                kp = kp.at[:, du + 1, p * ci:(p + 1) * ci,
+                           q * co:(q + 1) * co].set(kernel[:, dx + 1])
+    return kp
+
+
 def _conv_fwd_raw(x, kernel):
     """Padding/packing wrapper around the kernel. x (B,H,W,Ci) bf16/f32,
-    kernel (3,3,Ci,Co) float params. Returns (B,H,W,Co) in x.dtype."""
+    kernel (3,3,Ci,Co) float params. Returns (B,H,W,Co) in x.dtype.
+
+    C=64 operands route through the W-PAIRED layout: K=2C=128 and
+    N=3·2Co=384 exactly lane-aligned at 2x structural-zero FLOPs — the
+    straight C=64 form would pay a 2x K-pad AND 2x N-pad MXU tax (4x
+    wasted FLOPs; the measured FP_STAGES loss, PERF.md r4)."""
+    bsz, h, w, c = x.shape
+    co = kernel.shape[-1]
+    if c % 128 and (2 * c) % 128 == 0 and w % 2 == 0:
+        y = _conv_unpaired(x.reshape(bsz, h, w // 2, 2 * c), _wpair(kernel))
+        return y.reshape(bsz, h, w, co)
+    return _conv_unpaired(x, kernel)
+
+
+def _conv_unpaired(x, kernel):
     _, h, w, c = x.shape
     co = kernel.shape[-1]
     dt = x.dtype

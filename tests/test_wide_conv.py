@@ -73,6 +73,70 @@ def test_grads_match_xla():
                                rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.parametrize("h,w,ci,co", [
+    (8, 8, 64, 64),       # teacher stage-2 shape class (W-paired K=128,N=384)
+    (12, 20, 64, 128),    # paired W/2=10 pads to 16
+])
+def test_forward_paired_f32_exact(h, w, ci, co):
+    kx, kk = jax.random.split(jax.random.PRNGKey(h + w + ci))
+    x = _rand(kx, (2, h, w, ci), jnp.float32)
+    k = _rand(kk, (3, 3, ci, co), jnp.float32) * 0.1
+    y = conv3x3_wide(x, k)
+    ref = _ref_conv(x, k)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_grads_match_xla_paired():
+    kx, kk, kg = jax.random.split(jax.random.PRNGKey(5), 3)
+    x = _rand(kx, (2, 8, 8, 64), jnp.float32)
+    k = _rand(kk, (3, 3, 64, 64), jnp.float32) * 0.1
+    ct = _rand(kg, (2, 8, 8, 64), jnp.float32)
+
+    def loss(f):
+        def inner(x_, k_):
+            return jnp.vdot(f(x_, k_), ct)
+        return inner
+
+    gx, gk = jax.grad(loss(conv3x3_wide), argnums=(0, 1))(x, k)
+    rx, rk = jax.grad(loss(_ref_conv), argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_wpair_matches_s2d():
+    """ops-local _wpair must stay the same algebra as the S2D module's
+    wpair_kernel (kept separate only to avoid an ops→models import)."""
+    from radardistill_tpu.models.backbone_s2d import wpair_kernel
+    from radardistill_tpu.ops.pallas_wide_conv import _wpair
+
+    k = _rand(jax.random.PRNGKey(9), (3, 3, 16, 8), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(_wpair(k)),
+                                  np.asarray(wpair_kernel(k)))
+
+
+def test_conv2dtorch_dispatch_paired(monkeypatch):
+    """WIDE_CONV=2 routes C=64 Conv2dTorch calls through the W-paired
+    kernel with an identical param tree and matching forward; WIDE_CONV=1
+    leaves them on nn.Conv."""
+    from radardistill_tpu.models.layers import Conv2dTorch
+
+    x = _rand(jax.random.PRNGKey(4), (1, 8, 8, 64), jnp.float32)
+    m = Conv2dTorch(64, 3, 1, 1, use_bias=True)
+    monkeypatch.setenv("WIDE_CONV", "0")
+    v0 = m.init(jax.random.PRNGKey(1), x)
+    y0 = m.apply(v0, x)
+    monkeypatch.setenv("WIDE_CONV", "2")
+    v2 = m.init(jax.random.PRNGKey(1), x)
+    assert jax.tree.structure(v0) == jax.tree.structure(v2)
+    assert all(a.shape == b.shape for a, b in
+               zip(jax.tree.leaves(v0), jax.tree.leaves(v2)))
+    np.testing.assert_allclose(np.asarray(m.apply(v0, x)), np.asarray(y0),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_conv2dtorch_dispatch(monkeypatch):
     """WIDE_CONV=1 routes eligible Conv2dTorch calls through the kernel with
     an IDENTICAL param tree and matching forward."""
