@@ -252,13 +252,16 @@ void as_build_tap(const int32_t* out_uids, int cap_out,
 // to ops/voxelize.compute_pillar_coords + pillar_ids + stable argsort +
 // active_site.compact_unique_sorted.
 // points (n, f) f32 row-major; outputs: pts_s (n, f), mask_s (n) u8,
-// ids_s (n) i32, slot (n) i32, uids (capacity) i32. Returns the true
-// unique-pillar count (pre-capping).
+// ids_s (n) i32, slot (n) i32, uids (capacity) i32, mean_s (n, 3) f32
+// (per-point cluster mean = mean xyz of the point's pillar over VALID
+// points — the host twin of models/vfe._slot_mean; sentinel segment -> 0;
+// double accumulation, so it differs from the device's f32 tree sum only
+// at f32 rounding). Returns the true unique-pillar count (pre-capping).
 int32_t pillar_sort_encode(const float* points, const uint8_t* mask, int n,
                            int f, float x0, float y0, float vx, float vy,
                            int nx, int ny, int capacity, float* pts_s,
                            uint8_t* mask_s, int32_t* ids_s, int32_t* slot,
-                           int32_t* uids) {
+                           int32_t* uids, float* mean_s) {
   const int32_t sent = nx * ny;
   std::vector<int32_t> ids(n);
   for (int i = 0; i < n; ++i) {
@@ -310,6 +313,35 @@ int32_t pillar_sort_encode(const float* points, const uint8_t* mask, int n,
       prev = id;
     }
     slot[i] = (valid && pos < capacity) ? pos : capacity;
+  }
+  // per-point cluster means: one sequential pass over the sorted ids
+  // (segments = runs of equal id; the sentinel run sums zero valid points
+  // and clip(count, 1) makes its mean exactly 0, matching _slot_mean)
+  {
+    int i = 0;
+    while (i < n) {
+      const int32_t id = ids_s[i];
+      int j = i;
+      double sx = 0.0, sy = 0.0, sz = 0.0;
+      int64_t cnt = 0;
+      for (; j < n && ids_s[j] == id; ++j) {
+        if (id < sent) {
+          sx += pts_s[(size_t)j * f];
+          sy += pts_s[(size_t)j * f + 1];
+          sz += pts_s[(size_t)j * f + 2];
+          ++cnt;
+        }
+      }
+      const double d = cnt > 0 ? (double)cnt : 1.0;
+      const float mx = (float)(sx / d), my = (float)(sy / d),
+                  mz = (float)(sz / d);
+      for (int k = i; k < j; ++k) {
+        mean_s[(size_t)k * 3] = mx;
+        mean_s[(size_t)k * 3 + 1] = my;
+        mean_s[(size_t)k * 3 + 2] = mz;
+      }
+      i = j;
+    }
   }
   return pos + 1;
 }

@@ -63,6 +63,7 @@ def pillar_encode(points: np.ndarray, mask: np.ndarray, pc_range, voxel_size,
         "slot": np.stack([o[3] for o in outs]),
         "uids": np.stack([o[4] for o in outs]),
         "count": np.asarray([o[5] for o in outs], np.int32),
+        "mean": np.stack([o[6] for o in outs]),
     }
     return pts_s, mask_s, pre
 
@@ -97,7 +98,20 @@ def pillar_encode_np(points: np.ndarray, mask: np.ndarray, pc_range, voxel_size,
     bi, ni = np.nonzero(first & (pos < capacity))
     uids[bi, pos[bi, ni]] = ids_s[bi, ni]
     count = first.sum(1).astype(np.int32)
-    pre = {"ids": ids_s, "slot": slot, "uids": uids, "count": count}
+    # per-point cluster mean (segments = runs of equal id; sentinel run -> 0)
+    mean = np.zeros((b, n, 3), np.float32)
+    for i in range(b):
+        starts = np.flatnonzero(
+            np.concatenate([[True], ids_s[i, 1:] != ids_s[i, :-1]])
+        )
+        xyz = np.where(validv[i, :, None], pts_s[i, :, :3], 0.0).astype(np.float64)
+        seg_sum = np.add.reduceat(xyz, starts, axis=0)
+        seg_cnt = np.add.reduceat(validv[i].astype(np.float64), starts)
+        seg_mean = (seg_sum / np.maximum(seg_cnt, 1.0)[:, None]).astype(np.float32)
+        reps = np.diff(np.concatenate([starts, [n]]))
+        mean[i] = np.repeat(seg_mean, reps, axis=0)
+    pre = {"ids": ids_s, "slot": slot, "uids": uids, "count": count,
+           "mean": mean}
     return pts_s, mask_s, pre
 
 

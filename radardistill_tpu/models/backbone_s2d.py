@@ -520,35 +520,45 @@ class PillarRes18BackBone8xS2D(nn.Module):
         m2h, m3h, m4h = hp_masks if hp_masks is not None else (None,) * 3
         if self.pack_stage2:
             m2h = m3h = m4h = None  # pack branch keeps its own mask path
-        entry_src = None
+        q = self.int8
+        qs = self.int8_static and not train
         if self.table_input:
             from ..ops import active_site as asx
 
             table, uids = bev, mask  # (B, cap, C), (B, cap)
-            entry_src = table
+            if qs:
+                from .layers import q8
+
+                # quantize the COMPACT table, then densify int8: the entry
+                # expansion gather moves 4x fewer bytes (66 vs 265 MB at
+                # 1440², PERF.md r4: this gather ran at 80 GB/s), and the
+                # dense-grid q8 pass disappears. Exact: q8 is elementwise
+                # with a static-per-step scalar bound and q8(0) = 0
+                # (symmetric), so gather(q8(t)) == q8(gather(t)).
+                bnd0 = jnp.maximum(
+                    jnp.max(jnp.abs(table)).astype(jnp.float32), 1e-6)
+                table = q8(table.astype(jnp.float32), bnd0)
             x, mask = asx.densify_packed_batch(table, uids, self.hw)
+            if qs:
+                x = (x, bnd0, 0.0)
             mask_p = pack_mask(mask)
             # inactive cells gather the zero sentinel row: already masked
         else:
             mask_p = pack_mask(mask)
             x = space_to_depth(bev)
             x = x * _phase_mask_flat(mask_p, bev.shape[-1]).astype(x.dtype)
+            if qs:
+                from .layers import q8
 
-        q = self.int8
-        qs = self.int8_static and not train
+                # stage-entry quantization: ONE dynamic abs-max in the
+                # source dtype (max of bf16 values is exact); only the
+                # scalar upcasts
+                bnd0 = jnp.maximum(
+                    jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-6)
+                x = (q8(x.astype(jnp.float32), bnd0), bnd0, 0.0)
+
         if qs:
-            from .layers import deq8, q8
-
-            # stage-entry quantization: ONE dynamic abs-max — over the
-            # COMPACT table when available (dense cells are gathered table
-            # rows or zeros, so max|table| >= max|dense| is a valid bound at
-            # ~40x fewer bytes than reducing the 265 MB dense grid)
-            src = x if entry_src is None else entry_src
-            # abs+max stay in the source dtype (max of bf16 values is
-            # exact); only the scalar upcasts
-            bnd0 = jnp.maximum(
-                jnp.max(jnp.abs(src)).astype(jnp.float32), 1e-6)
-            x = (q8(x.astype(jnp.float32), bnd0), bnd0, 0.0)
+            from .layers import deq8
 
             def dq(t):
                 return deq8(*t).astype(self.dtype or jnp.float32)

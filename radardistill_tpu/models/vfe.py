@@ -202,10 +202,16 @@ class DynamicPillarVFESimple2D(nn.Module):
                 lambda i: asx.compact_unique_sorted(i, capacity, sent)
             )(ids)
 
-        mean = (
-            self._slot_mean(points[..., 0:3], valid, slot, capacity)
-            if self.use_cluster_xyz else None
-        )
+        if not self.use_cluster_xyz:
+            mean = None
+        elif pre is not None and "mean" in pre:
+            # host-computed cluster mean (csrc pillar_sort_encode — a pure
+            # function of the raw points, no gradient path; equal to
+            # _slot_mean at f32 resolution, saving its two associative
+            # scans: ~5.5 ms/step, PERF.md r3d)
+            mean = pre["mean"].astype(points.dtype)
+        else:
+            mean = self._slot_mean(points[..., 0:3], valid, slot, capacity)
         feats = self._assemble_features(points, valid, ids, mean)
 
         table = None

@@ -164,8 +164,13 @@ def test_vfe_pre_path_bitexact():
     )
     pts_s, mask_s, pre = pillar_encode(pts, mask, PC, VS, (GRID, GRID), CAP)
     pre_j = jax.tree.map(jnp.asarray, pre)
+
+    # the index half of the pre path (sort, slots, uids) is BIT-identical:
+    # with the host mean stripped, the device falls back to _slot_mean and
+    # everything must agree exactly
+    pre_nomean = {k: v for k, v in pre_j.items() if k != "mean"}
     (t1, u1, c1), up1 = vfe.apply(
-        variables, jnp.asarray(pts_s), jnp.asarray(mask_s), True, pre_j,
+        variables, jnp.asarray(pts_s), jnp.asarray(mask_s), True, pre_nomean,
         mutable=["batch_stats"],
     )
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
@@ -176,6 +181,51 @@ def test_vfe_pre_path_bitexact():
         jax.tree_util.tree_leaves_with_path(up1),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bb), err_msg=str(pa))
+
+    # the host cluster mean (double-accumulated C++) differs from the
+    # device's f32 tree sum only at f32 rounding; the VFE output must match
+    # within that noise floor
+    (t2, u2, c2), up2 = vfe.apply(
+        variables, jnp.asarray(pts_s), jnp.asarray(mask_s), True, pre_j,
+        mutable=["batch_stats"],
+    )
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c2))
+    np.testing.assert_allclose(
+        np.asarray(t0), np.asarray(t2), rtol=2e-4, atol=2e-6)
+    for (pa, a), (pb, bb) in zip(
+        jax.tree_util.tree_leaves_with_path(up0),
+        jax.tree_util.tree_leaves_with_path(up2),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=2e-4, atol=2e-6,
+            err_msg=str(pa))
+
+
+def test_host_mean_matches_device_slot_mean():
+    """csrc per-point cluster means == device _slot_mean at f32 resolution
+    (both twins: C++ and the numpy oracle), for slots below capacity (the
+    device merges all overflow/sentinel points into one junk segment whose
+    mean is never consumed — slot==capacity rows land in the dropped junk
+    table row)."""
+    from radardistill_tpu.data.host_precompute import pillar_encode_np
+
+    pts, mask = _points()
+    pts_s, mask_s, pre = pillar_encode(pts, mask, PC, VS, (GRID, GRID), CAP)
+    pts_n, mask_n, pre_n = pillar_encode_np(pts, mask, PC, VS, (GRID, GRID), CAP)
+    np.testing.assert_array_equal(pre["mean"], pre_n["mean"])
+
+    vfe = DynamicPillarVFESparse(
+        capacity=CAP, num_filters=(32,), voxel_size=VS,
+        point_cloud_range=PC, grid_size=(GRID, GRID),
+    )
+    valid = jnp.asarray(pre["ids"]) < GRID * GRID
+    dev_mean = vfe._slot_mean(
+        jnp.asarray(pts_s[..., :3]), valid, jnp.asarray(pre["slot"]), CAP
+    )
+    live = np.asarray(pre["slot"]) < CAP
+    np.testing.assert_allclose(
+        np.asarray(dev_mean)[live], pre["mean"][live], rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("dense_from", [3, 5])
@@ -300,8 +350,26 @@ def test_full_model_hp_equivalence():
 
     out0, _ = model.apply(variables, batch0, True, mutable=["batch_stats"])
     out1, _ = model.apply(variables, batch1, True, mutable=["batch_stats"])
+
+    # with the host cluster mean stripped, the hp path is BIT-exact (the
+    # index half — sort/slots/uids/rulebooks — is the same integers)
+    b1_nm = dict(b1)
+    for hk in ("hp_lidar", "hp_radar"):
+        b1_nm[hk] = {k: v for k, v in b1_nm[hk].items() if k != "mean"}
+    out1_nm, _ = model.apply(
+        jax.tree.map(jnp.asarray, variables), jax.tree.map(jnp.asarray, b1_nm),
+        True, mutable=["batch_stats"])
     for k in ("radar_spatial_features_2d", "x_conv4", "spatial_features_2d",
               "as_overflow"):
         np.testing.assert_array_equal(
-            np.asarray(out0[k]), np.asarray(out1[k]), err_msg=k
+            np.asarray(out0[k]), np.asarray(out1_nm[k]), err_msg=k
         )
+
+    # with the host mean (double-accumulated vs the device's f32 tree sum):
+    # equal within the f32 noise floor propagated through the model
+    np.testing.assert_array_equal(
+        np.asarray(out0["as_overflow"]), np.asarray(out1["as_overflow"]))
+    for k in ("radar_spatial_features_2d", "x_conv4", "spatial_features_2d"):
+        a, b = np.asarray(out0[k], np.float32), np.asarray(out1[k], np.float32)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+        assert rel < 2e-3, (k, rel)

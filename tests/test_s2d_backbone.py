@@ -172,3 +172,16 @@ def test_s2d_table_input_matches_dense_input():
             np.asarray(out_t[k]), np.asarray(out_d[k]), rtol=1e-5, atol=1e-5
         )
     np.testing.assert_array_equal(np.asarray(out_t["mask4"]), np.asarray(out_d["mask4"]))
+
+    # int8_static: the table-input path quantizes the COMPACT table BEFORE
+    # the packed densify (4x fewer gathered bytes). q8 is elementwise with a
+    # scalar bound and q8(0) = 0, so it commutes with the zero-filling
+    # gather — outputs must be BIT-identical to the dense-entry chain.
+    dense_q = PillarRes18BackBone8xS2D(int8_static=True)
+    table_q = PillarRes18BackBone8xS2D(int8_static=True, table_input=True,
+                                       hw=(h, h))
+    out_dq = dense_q.apply(variables, bev, bmask, False, mutable=["batch_stats"])[0]
+    out_tq = table_q.apply(variables, table, uids, False, mutable=["batch_stats"])[0]
+    for k in ("x_conv3", "x_conv4", "x_conv5"):
+        np.testing.assert_array_equal(
+            np.asarray(out_tq[k]), np.asarray(out_dq[k]), err_msg=k)
