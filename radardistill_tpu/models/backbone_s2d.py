@@ -535,6 +535,11 @@ class PillarRes18BackBone8xS2D(nn.Module):
                 # dense-grid q8 pass disappears. Exact: q8 is elementwise
                 # with a static-per-step scalar bound and q8(0) = 0
                 # (symmetric), so gather(q8(t)) == q8(gather(t)).
+                # INVARIANT (advisor r4): bound equality with the dense-side
+                # abs-max additionally requires unused compact rows to be
+                # exactly zero — guaranteed today by PFNLayerV2Sparse's
+                # -inf max-scatter + isneginf->0 fill. A table producer with
+                # nonzero padding rows would silently inflate this bound.
                 bnd0 = jnp.maximum(
                     jnp.max(jnp.abs(table)).astype(jnp.float32), 1e-6)
                 table = q8(table.astype(jnp.float32), bnd0)

@@ -208,7 +208,16 @@ class DynamicPillarVFESimple2D(nn.Module):
             # host-computed cluster mean (csrc pillar_sort_encode — a pure
             # function of the raw points, no gradient path; equal to
             # _slot_mean at f32 resolution, saving its two associative
-            # scans: ~5.5 ms/step, PERF.md r3d)
+            # scans: ~5.5 ms/step, PERF.md r3d).
+            # CAVEAT (advisor r4): the equality holds only for points in
+            # non-overflowed pillars. Overflow points (slot==capacity) get a
+            # TRUE per-pillar mean here but a merged junk-segment mean from
+            # the device fallback, and those points feed MaskedBatchNorm
+            # statistics before the junk row is dropped — so train and eval
+            # must BOTH use HostPrecompute (or neither) when use_cluster_xyz
+            # is on, unless as_overflow==0 for the config's capacities (the
+            # shipped caps are data-derived to make overflow rare; monitor
+            # the tb 'overflow/*' counters).
             mean = pre["mean"].astype(points.dtype)
         else:
             mean = self._slot_mean(points[..., 0:3], valid, slot, capacity)

@@ -11,12 +11,52 @@ is pure orchestration: data iteration, hooks, logging, checkpoints.
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
 from typing import Callable
 
 import jax
 from ..utils.common import AverageMeter
 from .checkpoint import CheckpointManager
+
+_END = object()
+
+
+class _DevicePrefetcher:
+    """Host->device double buffering (VERDICT r4 #2).
+
+    The r4 production cert measured ~1.0-1.5 s/iter where the device step is
+    ~210 ms: the loop serialized the ~9 MB/step host->device batch transfer
+    (and its tunnel latency) with compute. This iterator pulls host batches
+    and issues their device_put on a BACKGROUND thread, keeping up to
+    `depth` batches in flight while the current step computes. Loader
+    exceptions are re-raised in the consumer.
+    """
+
+    def __init__(self, loader, shard_fn, depth: int = 2):
+        self._q = queue.Queue(maxsize=depth)
+
+        def work():
+            try:
+                for batch, _host in loader:
+                    db = shard_fn(batch) if shard_fn is not None else batch
+                    self._q.put(db)
+                self._q.put(_END)
+            except BaseException as e:  # noqa: BLE001 — surface in consumer
+                self._q.put(e)
+
+        self._t = threading.Thread(target=work, daemon=True, name="dev-prefetch")
+        self._t.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
 
 def disable_augmentation_hook(hook_cfg, dataloader, total_epochs, cur_epoch, cfg, logger):
@@ -71,42 +111,62 @@ def train_model(
                 train_loader.set_start_iter(start_it)
                 if logger:
                     logger.info(f"mid-epoch resume: skipping {start_it} iters of epoch {epoch}")
+        spe = len(train_loader)
+
+        def _flush(pending):
+            """Sync + log the metrics of an earlier step. Runs AFTER the
+            next step has been dispatched, so the readback overlaps it
+            (VERDICT r4 #2: per-iter float(loss) through the tunnel
+            serialized the loop). ONE device_get for the whole metrics
+            dict — each separate float(v) is its own ~40 ms round trip."""
+            if pending is None:
+                return
+            p_i, p_metrics, p_it, p_data = pending
+            m = jax.device_get(p_metrics)
+            loss = float(m["loss"])
+            # host-side global step: int(state.step) would force a sync
+            it_off = start_it if epoch == start_epoch else 0
+            gstep = epoch * spe + it_off + p_i + 1
+            lr = float(lr_sched(gstep)) if lr_sched else 0.0
+            if logger:
+                # val(avg) like the reference's meters
+                # (tools/train_utils/train_utils.py:73-124) — the
+                # instantaneous val is what the production-cert tooling
+                # parses (the avg includes the first compile step)
+                logger.info(
+                    f"epoch {epoch}/{total_epochs} it {p_i}/{spe} "
+                    f"loss {loss:.4f} lr {lr:.3e} "
+                    f"t_iter {p_it:.3f}({it_meter.avg:.3f})s "
+                    f"t_data {p_data:.3f}({data_meter.avg:.3f})s"
+                )
+            if tb_writer is not None:
+                tb_writer.add_scalar("train/loss", loss, gstep)
+                tb_writer.add_scalar("meta_data/learning_rate", lr, gstep)
+                for k, v in m.items():
+                    if k != "loss":
+                        try:
+                            tb_writer.add_scalar(f"train/{k}", float(v), gstep)
+                        except Exception:
+                            pass
+
+        pending = None
         t_end = time.time()
-        for i, (batch, _host) in enumerate(train_loader):
-            data_meter.update(time.time() - t_end)
-            if shard_fn is not None:
-                batch = shard_fn(batch)
-            state, metrics = train_step(state, batch)
-            if (i % log_interval) == 0 or i == len(train_loader) - 1:
-                loss = float(metrics["loss"])  # sync point only when logging
-                step = int(state.step)
-                lr = float(lr_sched(step)) if lr_sched else 0.0
+        for i, batch in enumerate(_DevicePrefetcher(train_loader, shard_fn)):
+            data_meter.update(time.time() - t_end)  # wait on the prefetcher
+            state, metrics = train_step(state, batch)  # async dispatch
+            # lag-1 sync: flush the PREVIOUS logging iter's metrics while
+            # this step computes and the next batch transfers
+            _flush(pending)
+            pending = None
+            if (i % log_interval) == 0 or i == spe - 1:
                 it_meter.update(time.time() - t_end)
-                if logger:
-                    # val(avg) like the reference's meters
-                    # (tools/train_utils/train_utils.py:73-124) — the
-                    # instantaneous val is what the production-cert tooling
-                    # parses (the avg includes the first compile step)
-                    logger.info(
-                        f"epoch {epoch}/{total_epochs} it {i}/{len(train_loader)} "
-                        f"loss {loss:.4f} lr {lr:.3e} "
-                        f"t_iter {it_meter.val:.3f}({it_meter.avg:.3f})s "
-                        f"t_data {data_meter.val:.3f}({data_meter.avg:.3f})s"
-                    )
-                if tb_writer is not None:
-                    tb_writer.add_scalar("train/loss", loss, step)
-                    tb_writer.add_scalar("meta_data/learning_rate", lr, step)
-                    for k, v in metrics.items():
-                        if k != "loss":
-                            try:
-                                tb_writer.add_scalar(f"train/{k}", float(v), step)
-                            except Exception:
-                                pass
+                pending = (i, metrics, it_meter.val, data_meter.val)
             # time-interval latest save (train_utils.py:143-151)
             if time.time() - last_latest_save > ckpt_save_time_interval:
                 ckpt_mgr.save(jax.device_get(state), epoch, tag="latest")
                 last_latest_save = time.time()
             t_end = time.time()
+        _flush(pending)
 
         if (epoch + 1) % ckpt_save_interval == 0 or epoch == total_epochs - 1:
             ckpt_mgr.save(jax.device_get(state), epoch + 1)
