@@ -126,11 +126,22 @@ def as_tables(uids1: np.ndarray, hw: Tuple[int, int], caps, dense_from: int):
     b = uids1.shape[0]
     h, w = hw
     caps = [min(int(c), (h // s) * (w // s)) for c, s in zip(caps, (1, 2, 4, 8))]
+    # index values are table slots bounded by the static caps (nb in
+    # [0, cap_in] incl. the junk sentinel; inv clipped to [0, cap_out-1]) —
+    # ship uint16 when every cap fits: the production host loop is
+    # transfer-bandwidth-bound (~36 MB/s tunnel, tools/prod_step_bench.py)
+    # and the tap tables were ~7.8 MB/step of s32. The consumer upcasts
+    # (models/backbone_as._tap32), so the device math is unchanged.
+    narrow = max(caps) + 2 < (1 << 16)
 
     def tap_batch(out_uids, in_uids, h_in, w_in, out_w, stride):
         outs = [host_ops.as_build_tap(out_uids[i], in_uids[i], h_in, w_in,
                                       out_w, stride) for i in range(b)]
-        return tuple(np.stack([o[j] for o in outs]) for j in range(4))
+        stacked = [np.stack([o[j] for o in outs]) for j in range(4)]
+        if narrow:
+            stacked = [a.astype(np.uint16) if a.dtype == np.int32 else a
+                       for a in stacked]
+        return tuple(stacked)
 
     tables: Dict[str, object] = {}
     tables["tap1"] = tap_batch(uids1, uids1, h, w, w, 1)
@@ -177,7 +188,11 @@ def mask_pyramid(uids: np.ndarray, hw: Tuple[int, int], n_levels: int = 3):
                     nxt, p[:, dy:dy + hh:2, dx:dx + ww:2], out=nxt)
         m = nxt
         out.append(m)
-    return tuple(out)
+    # bit-pack along W (8x fewer transfer bytes); the backbone unpacks with
+    # three fused elementwise ops (utils/bitpack.unpack_bool_jnp)
+    from ..utils.bitpack import pack_bool_np
+
+    return tuple(pack_bool_np(m) for m in out)
 
 
 def _is_as(bk: dict) -> bool:
@@ -235,6 +250,19 @@ class HostPrecompute:
                 "dense_from": int(rbk.get("DENSE_FROM", 3)),
             }
 
+    @staticmethod
+    def _drop_ids(pre: dict, capacity: int, n_points: int) -> dict:
+        """Don't ship per-point pillar ids when overflow is impossible
+        (capacity >= n_points): the device reconstructs them EXACTLY with
+        one gather, ids = concat(uids, [sentinel])[slot] (vfe.encode_table)
+        — every valid point has slot < capacity pointing at its own pillar
+        row, and invalid points sit on the junk row whose uid is the
+        sentinel. Saves 1.3 MB/step of tunnel transfer at 160k points."""
+        if capacity >= n_points:
+            pre = dict(pre)
+            pre.pop("ids")
+        return pre
+
     def __call__(self, batch: dict) -> dict:
         nx, ny = self.grid_size
         if self.lidar_cap is not None and "points" in batch:
@@ -243,7 +271,8 @@ class HostPrecompute:
                 self.voxel_size, self.grid_size, self.lidar_cap,
             )
             batch["points"], batch["points_mask"] = pts, msk
-            batch["hp_lidar"] = pre
+            batch["hp_lidar"] = self._drop_ids(
+                pre, self.lidar_cap, pts.shape[1])
             if self.lidar_as is not None:
                 batch["hp_as_lidar"] = as_tables(
                     pre["uids"], (ny, nx), self.lidar_as["caps"],
@@ -264,7 +293,8 @@ class HostPrecompute:
                 self.voxel_size, self.grid_size, self.radar_cap,
             )
             batch[rkey], batch[f"{rkey}_mask"] = pts, msk
-            batch["hp_radar"] = pre
+            batch["hp_radar"] = self._drop_ids(
+                pre, self.radar_cap, pts.shape[1])
             if self.radar_as is not None:
                 batch["hp_as"] = as_tables(
                     pre["uids"], (ny, nx), self.radar_as["caps"],

@@ -122,6 +122,18 @@ class SparseDownBlockAS(nn.Module):
         return nn.relu(y) * new_valid[..., None].astype(y.dtype)
 
 
+
+def _tap32(tap):
+    """Upcast host-shipped uint16 rulebook indices to s32 (the loader
+    narrows them for transfer bandwidth — host_precompute.as_tables); the
+    three casts are elementwise and fuse into the consuming gathers."""
+    import jax.numpy as jnp
+
+    return tuple(
+        t.astype(jnp.int32) if t.dtype == jnp.uint16 else t for t in tap
+    )
+
+
 class PillarRes18BackBone8xAS(nn.Module):
     """Active-site PillarRes18 encoder.
 
@@ -167,7 +179,7 @@ class PillarRes18BackBone8xAS(nn.Module):
         # ---- stage 1: submanifold at stride 1 (always sparse: the input is
         # a table and the 1440² dense map is what we refuse to materialize)
         if tables is not None:
-            tap = tables["tap1"]
+            tap = _tap32(tables["tap1"])
         else:
             grid = jax.vmap(lambda u: asx.site_index_grid(u, h * w, cap1))(uids)
             nb, msk = asx.conv_neighbor_table_b(uids, grid, (h, w), w, 1, cap1)
@@ -192,7 +204,7 @@ class PillarRes18BackBone8xAS(nn.Module):
                 if tables is not None:
                     new_uids = tables[f"uids{stage}"]
                     _cnt = tables["counts"][:, stage - 2]
-                    tap_d = tables[f"dtap{stage}"]
+                    tap_d = _tap32(tables[f"dtap{stage}"])
                 else:
                     new_uids, _cnt = jax.vmap(
                         lambda u: asx.downsample_active(u, (sh, sw), cap_out)
@@ -208,7 +220,7 @@ class PillarRes18BackBone8xAS(nn.Module):
                     x, tap_d, valid, train
                 )
                 if tables is not None:
-                    tap = tables[f"tap{stage}"]
+                    tap = _tap32(tables[f"tap{stage}"])
                 else:
                     grid = jax.vmap(lambda u: asx.site_index_grid(u, sh * sw, cap_in))(uids)
                     nb, msk = asx.conv_neighbor_table_b(uids, grid, (sh, sw), sw, 1, cap_in)

@@ -518,6 +518,17 @@ class PillarRes18BackBone8xS2D(nn.Module):
         # (data/host_precompute.mask_pyramid levels 720²/360²/180²) — the
         # device then skips the 5-16 GB/s reduce_window dilations
         m2h, m3h, m4h = hp_masks if hp_masks is not None else (None,) * 3
+        if m2h is not None and m2h.dtype == jnp.uint8:
+            # loader ships the pyramid bit-packed along W (8x fewer transfer
+            # bytes — the production loop is tunnel-bandwidth-bound); the
+            # unpack is three elementwise ops fused into the mask consumers
+            from ..utils.bitpack import unpack_bool_jnp
+
+            h0, w0 = self.hw if self.hw is not None else (
+                bev.shape[1], bev.shape[2])
+            m2h = unpack_bool_jnp(m2h, w0 // 2)
+            m3h = unpack_bool_jnp(m3h, w0 // 4)
+            m4h = unpack_bool_jnp(m4h, w0 // 8)
         if self.pack_stage2:
             m2h = m3h = m4h = None  # pack branch keeps its own mask path
         q = self.int8
@@ -526,28 +537,52 @@ class PillarRes18BackBone8xS2D(nn.Module):
             from ..ops import active_site as asx
 
             table, uids = bev, mask  # (B, cap, C), (B, cap)
-            if qs:
-                from .layers import q8
+            import os as _os
 
-                # quantize the COMPACT table, then densify int8: the entry
-                # expansion gather moves 4x fewer bytes (66 vs 265 MB at
-                # 1440², PERF.md r4: this gather ran at 80 GB/s), and the
-                # dense-grid q8 pass disappears. Exact: q8 is elementwise
-                # with a static-per-step scalar bound and q8(0) = 0
-                # (symmetric), so gather(q8(t)) == q8(gather(t)).
-                # INVARIANT (advisor r4): bound equality with the dense-side
-                # abs-max additionally requires unused compact rows to be
-                # exactly zero — guaranteed today by PFNLayerV2Sparse's
-                # -inf max-scatter + isneginf->0 fill. A table producer with
-                # nonzero padding rows would silently inflate this bound.
-                bnd0 = jnp.maximum(
-                    jnp.max(jnp.abs(table)).astype(jnp.float32), 1e-6)
-                table = q8(table.astype(jnp.float32), bnd0)
-            x, mask = asx.densify_packed_batch(table, uids, self.hw)
-            if qs:
-                x = (x, bnd0, 0.0)
-            mask_p = pack_mask(mask)
-            # inactive cells gather the zero sentinel row: already masked
+            if _os.environ.get("ENTRY_EXPAND", "0") == "1":
+                # A/B (r5): entry via the Pallas one-hot-matmul expand on
+                # the MONOTONE unpacked order (ops/pallas_expand — already
+                # the radar AS dense handoff) + a standalone s2d transpose,
+                # instead of the packed XLA row-gather that runs at
+                # ~48 GB/s (r5 profile: 7.6 ms) plus the 3.2 ms packed-inv
+                # transpose. bf16 through the expand (the int8 table would
+                # need int32 MXU accum + 128-lane int8 slices the kernel
+                # doesn't do), q8 AFTER packing when the int8 chain is on —
+                # identical math, the bound is the same table abs-max.
+                dense, mask = asx.densify_batch(table, uids, self.hw)
+                mask_p = pack_mask(mask)
+                x = space_to_depth(dense)
+                if qs:
+                    from .layers import q8
+
+                    bnd0 = jnp.maximum(
+                        jnp.max(jnp.abs(table)).astype(jnp.float32), 1e-6)
+                    x = (q8(x.astype(jnp.float32), bnd0), bnd0, 0.0)
+            else:
+                if qs:
+                    from .layers import q8
+
+                    # quantize the COMPACT table, then densify int8: the
+                    # entry expansion gather moves 4x fewer bytes (66 vs
+                    # 265 MB at 1440², PERF.md r4: this gather ran at
+                    # 80 GB/s), and the dense-grid q8 pass disappears.
+                    # Exact: q8 is elementwise with a static-per-step
+                    # scalar bound and q8(0) = 0 (symmetric), so
+                    # gather(q8(t)) == q8(gather(t)).
+                    # INVARIANT (advisor r4): bound equality with the
+                    # dense-side abs-max additionally requires unused
+                    # compact rows to be exactly zero — guaranteed today by
+                    # PFNLayerV2Sparse's -inf max-scatter + isneginf->0
+                    # fill. A table producer with nonzero padding rows
+                    # would silently inflate this bound.
+                    bnd0 = jnp.maximum(
+                        jnp.max(jnp.abs(table)).astype(jnp.float32), 1e-6)
+                    table = q8(table.astype(jnp.float32), bnd0)
+                x, mask = asx.densify_packed_batch(table, uids, self.hw)
+                if qs:
+                    x = (x, bnd0, 0.0)
+                mask_p = pack_mask(mask)
+                # inactive cells gather the zero sentinel row: already masked
         else:
             mask_p = pack_mask(mask)
             x = space_to_depth(bev)

@@ -183,8 +183,21 @@ class DynamicPillarVFESimple2D(nn.Module):
         nx, ny = self.grid_size
         sent = nx * ny
         if pre is not None:
-            ids, slot = pre["ids"], pre["slot"]
+            slot = pre["slot"]
             uids, count = pre["uids"], pre["count"]
+            if "ids" in pre:
+                ids = pre["ids"]
+            else:
+                # loader dropped per-point ids (transfer bytes): reconstruct
+                # EXACTLY via one flat gather — overflow is impossible here
+                # (HostPrecompute._drop_ids gates on capacity >= n_points),
+                # so every valid point's slot addresses its own pillar row
+                # and invalid points hit the junk row (uid = sentinel)
+                b, cap = uids.shape
+                uids_z = jnp.concatenate(
+                    [uids, jnp.full((b, 1), sent, uids.dtype)], axis=1)
+                flat = slot + jnp.arange(b, dtype=slot.dtype)[:, None] * (cap + 1)
+                ids = uids_z.reshape(-1)[flat]
             valid = ids < sent
         else:
             coords, in_range = voxelize.compute_pillar_coords(

@@ -531,10 +531,16 @@ def _mdcn_bwd(stride, padding, max_offset, interpret, res, dy):
     # channel reduce runs as a block-selector MATMUL — reshaping the 75 MB
     # (…, 9C) tensor to (…, 9, C) splits the LANE dim and XLA relayouts it
     # (measured: the two reshapes here put 16 ms/step of copies back)
-    sel = jnp.repeat(jnp.eye(9, dtype=jnp.float32), ci, axis=0)  # (9C, 9)
+    # product in COMPUTE dtype (bf16), f32 accumulation in the selector
+    # matmul: the old f32 upcast materialized two 75 MB casts + an f32
+    # product per encoder (CLAUDE.md upcast trap; r5 profile: the dcn glue
+    # class ran 22.9 ms @81 GB/s). One bf16 rounding on the elementwise
+    # product — the same resolution every other gradient in the bf16 graph
+    # carries; the 9C->9 reduce still accumulates f32.
+    sel = jnp.repeat(jnp.eye(9, dtype=dsampled.dtype), ci, axis=0)  # (9C, 9)
     prod = jnp.einsum(
         "bhwK,Kt->bhwt",
-        dsampled.astype(jnp.float32) * sampled.astype(jnp.float32), sel,
+        dsampled * sampled.astype(dsampled.dtype), sel,
         preferred_element_type=jnp.float32)[:, :, :Wo]
     dmask = (prod / jnp.maximum(mask9, 1e-6)).reshape(mask.shape).astype(
         mask.dtype)

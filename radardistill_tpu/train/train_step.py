@@ -31,16 +31,25 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def create_train_state(model, tx, sample_batch, rng=None) -> TrainState:
+def create_train_state(model, tx, sample_batch, rng=None, jit_init=False) -> TrainState:
+    """jit_init=True compiles the init as ONE program instead of eager
+    op-by-op dispatch — through the remote axon tunnel the eager init of
+    the production model took ~9.5 min (r4 cert log) vs seconds warm-cached
+    jitted. Bit-identical (same graph, deterministic threefry RNG)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = model.init(rng, sample_batch, True)
+    if jit_init:
+        variables = jax.jit(lambda r, b: model.init(r, b, True))(rng, sample_batch)
+        opt_init = jax.jit(tx.init)
+    else:
+        variables = model.init(rng, sample_batch, True)
+        opt_init = tx.init
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        opt_state=opt_init(params),
     )
 
 

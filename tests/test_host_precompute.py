@@ -283,8 +283,11 @@ def test_mask_pyramid_matches_device():
     ].set(True)[:, :GRID * GRID].reshape(2, GRID, GRID)
     for k in range(3):
         m = max_pool_mask(m, 3, 2, 1)
-        np.testing.assert_array_equal(
-            np.asarray(host[k]), np.asarray(m), err_msg=f"level {k}")
+        w_k = GRID >> (k + 1)
+        # loader ships the pyramid bit-packed along W (transfer bytes);
+        # np.unpackbits is the numpy twin of utils/bitpack.unpack_bool_jnp
+        h_np = np.unpackbits(np.asarray(host[k]), axis=-1)[..., :w_k].astype(bool)
+        np.testing.assert_array_equal(h_np, np.asarray(m), err_msg=f"level {k}")
 
 
 def test_hp_as_teacher_tables():
@@ -373,3 +376,35 @@ def test_full_model_hp_equivalence():
         a, b = np.asarray(out0[k], np.float32), np.asarray(out1[k], np.float32)
         rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
         assert rel < 2e-3, (k, rel)
+
+
+def test_bitpack_roundtrip_device():
+    """pack_bool_np (host) -> unpack_bool_jnp (device) is the identity,
+    including non-multiple-of-8 widths."""
+    from radardistill_tpu.utils.bitpack import pack_bool_np, unpack_bool_jnp
+
+    rng = np.random.RandomState(7)
+    for w in (8, 13, 64, 90):
+        m = rng.rand(2, 5, w) > 0.6
+        p = pack_bool_np(m)
+        assert p.dtype == np.uint8 and p.shape == (2, 5, (w + 7) // 8)
+        back = np.asarray(unpack_bool_jnp(jnp.asarray(p), w))
+        np.testing.assert_array_equal(back, m)
+
+
+def test_hp_drops_ids_when_no_overflow():
+    """HostPrecompute omits per-point ids when capacity >= n_points; the
+    VFE reconstructs them exactly (covered bit-exactly by
+    test_full_model_hp_equivalence, asserted structurally here)."""
+    from radardistill_tpu.utils.testing import make_model_cfg
+
+    cfg, info = make_model_cfg(grid=64, num_max_objs=32, k_per_head=16, nms_post=8)
+    cfg.BACKBONE_3D.NAME = "PillarRes18BackBone8x_AS"
+    cfg.BACKBONE_3D.MAX_ACTIVE = [2048, 512, 512, 512]
+    cfg.BACKBONE_3D.DENSE_FROM = 3
+    hp = HostPrecompute(cfg, info["grid_size"], info["voxel_size"],
+                        info["point_cloud_range"])
+    pts, mask = _points(n=600)  # 600 <= 2048: no overflow possible
+    out = hp({"points": pts, "points_mask": mask})
+    assert "ids" not in out["hp_lidar"]
+    assert "slot" in out["hp_lidar"] and "uids" in out["hp_lidar"]
