@@ -55,6 +55,35 @@ def _permute_rows_bwd(inv_perm, g):
 _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
+@jax.custom_vjp
+def _gather_sorted_rows(x, idx):
+    """Monotone row gather whose VJP scatter-add DROPS the sorted hint.
+
+    The autodiff transpose of a sorted-hint gather is a sorted-hint
+    scatter-add; idx here is monotone-with-DUPLICATES (cummax hole-fill +
+    edge clipping), and that scatter-add MIS-EXECUTES on real TPU at some
+    shapes (r5 tools/dcn_smoke.py: dx rel err 0.99 at the 90² CMA site,
+    exact at 180² — interpret/CPU both fine, production unaffected because
+    the Pallas kernels own the TPU path). The forward gather keeps the
+    hint (gathers tolerate duplicates); the backward scatters unhinted."""
+    return x.at[idx].get(mode="clip", indices_are_sorted=True)
+
+
+def _gsr_fwd(x, idx):
+    return _gather_sorted_rows(x, idx), (idx, x.shape)
+
+
+def _gsr_bwd(res, g):
+    idx, shape = res
+    return (
+        jnp.zeros(shape, g.dtype).at[jnp.clip(idx, 0, shape[0] - 1)].add(g),
+        None,
+    )
+
+
+_gather_sorted_rows.defvjp(_gsr_fwd, _gsr_bwd)
+
+
 def _bilinear_gather(x_flat, h, w, H, W):
     """x_flat: (HW, C); h, w: (...,) float coords. Zero outside. -> (..., C).
 
@@ -107,7 +136,7 @@ def _bilinear_gather(x_flat, h, w, H, W):
         # clip saturation at the grid edge can locally break monotonicity;
         # those entries are weight-masked to zero, so fill the holes forward
         idx_mono = jnp.clip(jax.lax.cummax(jnp.where(ok, idx, -1)), 0, H * W - 1)
-        vals = x_flat.at[idx_mono].get(mode="clip", indices_are_sorted=True)
+        vals = _gather_sorted_rows(x_flat, idx_mono)
         out = out + vals * (wt * ok)[..., None].astype(x_flat.dtype)
     return _permute_rows(out, inv_order, order).reshape(shape + (c,))
 

@@ -179,6 +179,37 @@ def _build_m(ph, pw, r0, c0, w_valid, ic, n_cells_rows, mode, extra=None,
     return m
 
 
+def _build_m3(ph, pw, r0, c0, w_valid, ic, n_cells_rows, dtype=jnp.float32):
+    """Fused 3-mode interpolation matrices (value, d/dΔh, d/dΔw) sharing ONE
+    (idx == iota) one-hot per corner — the one-hot compares dominate the
+    build cost, so this is ~3x cheaper than three _build_m calls (and
+    cheaper than the two the pre-r5 K2 made)."""
+    wo = ph.shape[0]
+    h0 = jnp.floor(ph)
+    w0 = jnp.floor(pw)
+    dh = ph - h0
+    dw = pw - w0
+    n = n_cells_rows * ic
+    iota = jax.lax.broadcasted_iota(jnp.int32, (wo, n), 1)
+    mv = jnp.zeros((wo, n), dtype)
+    mh = jnp.zeros((wo, n), dtype)
+    mw = jnp.zeros((wo, n), dtype)
+    for a, b in _corner_tables():
+        hi = h0.astype(jnp.int32) + a - r0
+        wi = w0.astype(jnp.int32) + b
+        valid_w = (wi >= 0) & (wi < w_valid)
+        idx = jnp.where(valid_w, hi * ic + (wi - c0), -1)
+        onehot = (idx[:, None] == iota).astype(dtype)
+        fh = dh if a else (1.0 - dh)
+        fw = dw if b else (1.0 - dw)
+        gh = 1.0 if a else -1.0
+        gw = 1.0 if b else -1.0
+        mv = mv + (fh * fw).astype(dtype)[:, None] * onehot
+        mh = mh + (gh * fw).astype(dtype)[:, None] * onehot
+        mw = mw + (fh * gw).astype(dtype)[:, None] * onehot
+    return mv, mh, mw
+
+
 def _sample_kernel(offs_ref, mask_ref, x_hbm, out_ref, patch, sem,
                    *, stride, pad, r, H, W, W8, rows, oc, ic):
     b = pl.program_id(0)
@@ -249,12 +280,20 @@ def dcn_sample(x, offset18, mask9, *, stride=2, padding=1, max_offset=5,
     )(offset18, mask9, x)
 
 
-def _offgrad_kernel(offs_ref, dsm_ref, x_hbm, out_ref, patch, sem,
-                    *, stride, pad, r, H, W, W8, rows, oc, ic):
+def _offgrad_kernel(offs_ref, mask_ref, dsamp_ref, x_hbm, out_ref, dm_ref,
+                    patch, sem, *, stride, pad, r, H, W, W8, rows, oc, ic):
     """K2 (fused): per-tap P = dsm @ patchᵀ once, then the two derivative
     one-hot matrices reduce ELEMENTWISE against P — halves the K2 MXU work
     vs materializing unmasked derivative sample tensors (and removes their
-    (B,Ho,2,9,Wo,C) HBM round-trip entirely)."""
+    (B,Ho,2,9,Wo,C) HBM round-trip entirely).
+
+    r5 fusion: P is built from the UNMASKED dsampled; the per-site mask
+    scalar multiplies the reduced offset grads (chain factor), and a third
+    'w'-mode reduce against the SAME P gives dmask_k = <dsampled_k,
+    s_unmasked_k> directly — exact (no eps division) and it absorbs what
+    used to be caller-side glue: the 40-80 MB `dsm = dsampled * mask`
+    materialization and the dmask selector matmul over two 9C-lane tensors
+    (r5 profile: the dcn glue class ran 22.9 ms @81 GB/s)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     o0 = pl.program_id(2) * oc
@@ -264,29 +303,34 @@ def _offgrad_kernel(offs_ref, dsm_ref, x_hbm, out_ref, patch, sem,
         x_hbm.at[b, pl.ds(r0, rows), pl.ds(c0, ic)], patch, sem)
     cp.start()
     offs = offs_ref[0, 0]          # (OC, 18) f32
+    mask = mask_ref[0, 0]          # (OC, 9) f32
     cp.wait()
     pf = patch[:].reshape(rows * ic, x_hbm.shape[-1])
     C = x_hbm.shape[-1]
     for k in range(9):
         ph, pw = _tap_geometry(i, o0, offs, k, stride, pad, r)
-        dsm_k = dsm_ref[0, 0][:, k * C:(k + 1) * C]   # (OC, C)
+        ds_k = dsamp_ref[0, 0][:, k * C:(k + 1) * C]   # (OC, C) UNMASKED
         p = jax.lax.dot_general(
-            dsm_k, pf, (((1,), (1,)), ((), ())),
+            ds_k, pf, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                           # (OC, rows*ic)
-        mh = _build_m(ph, pw, r0, c0, W, ic, rows, "dh", dtype=jnp.float32)
-        mw = _build_m(ph, pw, r0, c0, W, ic, rows, "dw", dtype=jnp.float32)
+        mv, mh, mw = _build_m3(ph, pw, r0, c0, W, ic, rows)
         # output layout (OC, 18): lane dim 18 == full array dim (Mosaic
         # block rule) — also drops the (B,Ho,18,Wo) transpose at the caller
-        out_ref[0, 0, :, 2 * k] = jnp.sum(mh * p, axis=1).astype(out_ref.dtype)
-        out_ref[0, 0, :, 2 * k + 1] = jnp.sum(mw * p, axis=1).astype(out_ref.dtype)
+        mk = mask[:, k]
+        out_ref[0, 0, :, 2 * k] = (
+            mk * jnp.sum(mh * p, axis=1)).astype(out_ref.dtype)
+        out_ref[0, 0, :, 2 * k + 1] = (
+            mk * jnp.sum(mw * p, axis=1)).astype(out_ref.dtype)
+        dm_ref[0, 0, :, k] = jnp.sum(mv * p, axis=1).astype(dm_ref.dtype)
 
 
-def dcn_offset_grad(x, offset18, dsm, *, stride=2, padding=1, max_offset=5,
-                    interpret=False):
-    """K2: offset gradients (B, Ho, WoP, 18) f32 from the mask-folded
-    dsampled (B, Ho, WoP, 9*C) (WoP = Wo padded to OC); channel 2k = dΔy of
-    tap k, 2k+1 = dΔx. Clamp pass-through applied by the caller."""
+def dcn_offset_grad(x, offset18, dsampled, mask9p, *, stride=2, padding=1,
+                    max_offset=5, interpret=False):
+    """K2: offset gradients (B, Ho, WoP, 18) f32 AND mask gradients
+    (B, Ho, WoP, 9) f32 from the UNMASKED dsampled (B, Ho, WoP, 9*C)
+    (WoP = Wo padded to OC); channel 2k = dΔy of tap k, 2k+1 = dΔx.
+    Clamp pass-through applied by the caller."""
     B, H, W, C = x.shape
     W8 = -(-W // 8) * 8
     if W8 != W:
@@ -294,32 +338,41 @@ def dcn_offset_grad(x, offset18, dsm, *, stride=2, padding=1, max_offset=5,
     Ho, Wo = offset18.shape[1], offset18.shape[2]
     rows = patch_rows(max_offset)
     offset18, wop = _pad_wo(offset18, Wo)
-    assert dsm.shape[2] == wop, (dsm.shape, wop)  # caller works padded
+    assert dsampled.shape[2] == wop, (dsampled.shape, wop)  # caller works padded
+    assert mask9p.shape[2] == wop, (mask9p.shape, wop)
     oc = wop  # full-width chunk (see dcn_sample: chunking measured a loss)
     ic = min(patch_cols(oc, max_offset, stride), W8)
 
-    def kernel(offs_ref, dsm_ref, x_hbm, out_ref, patch, sem):
-        _offgrad_kernel(offs_ref, dsm_ref, x_hbm, out_ref, patch, sem,
-                        stride=stride, pad=padding, r=max_offset, H=H, W=W,
-                        W8=W8, rows=rows, oc=oc, ic=ic)
+    def kernel(offs_ref, mask_ref, dsamp_ref, x_hbm, out_ref, dm_ref, patch,
+               sem):
+        _offgrad_kernel(offs_ref, mask_ref, dsamp_ref, x_hbm, out_ref, dm_ref,
+                        patch, sem, stride=stride, pad=padding, r=max_offset,
+                        H=H, W=W, W8=W8, rows=rows, oc=oc, ic=ic)
 
     return pl.pallas_call(
         kernel,
         grid=(B, Ho, wop // oc),
         in_specs=[
             pl.BlockSpec((1, 1, oc, 18), lambda b, i, o: (b, i, o, 0)),
+            pl.BlockSpec((1, 1, oc, 9), lambda b, i, o: (b, i, o, 0)),
             pl.BlockSpec((1, 1, oc, 9 * C), lambda b, i, o: (b, i, o, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, oc, 18), lambda b, i, o: (b, i, o, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Ho, wop, 18), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, 1, oc, 18), lambda b, i, o: (b, i, o, 0)),
+            pl.BlockSpec((1, 1, oc, 9), lambda b, i, o: (b, i, o, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Ho, wop, 18), jnp.float32),
+            jax.ShapeDtypeStruct((B, Ho, wop, 9), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((rows, ic, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(offset18, dsm, x)
+    )(offset18, mask9p, dsampled, x)
 
 
 def _grad_kernel(offs_hbm, dsm_hbm, out_ref, dsm_buf, offs_buf, acc, sem,
@@ -347,7 +400,9 @@ def _grad_kernel(offs_hbm, dsm_hbm, out_ref, dsm_buf, offs_buf, acc, sem,
     pltpu.make_async_copy(
         dsm_hbm.at[b, pl.ds(r0o, rows), pl.ds(w0o, woc)], dsm_buf, sem2,
     ).wait()
-    offs = offs_buf[:]  # (rows, woc, 128) f32; cols >= Wo / lanes >= 18 are zero-pad
+    offs = offs_buf[:]  # (rows, woc, 128) f32; lanes 0..17 offsets, lanes
+    # 18..26 the modulation mask (packed by dcn_input_grad so the in-kernel
+    # dsampled*mask fold needs no extra operand); cols >= Wo zero-pad
     n_cells = GRAD_IR * gc
     # M is built in SUB-row chunks of the output-row window to bound
     # VMEM; geometry stays (sub, woc)-shaped and only the LEADING dims are
@@ -386,9 +441,14 @@ def _grad_kernel(offs_hbm, dsm_hbm, out_ref, dsm_buf, offs_buf, acc, sem,
                 m3 = m3 + wt[..., None] * (
                     idx[..., None] == iota3).astype(jnp.float32)
             m = m3.reshape(n_samp, n_cells)
-            ds_flat = dsm_buf[
-                a3 * sub:(a3 + 1) * sub, :, k * C:(k + 1) * C
-            ].reshape(n_samp, C)
+            # mask fold (r5): dsm_buf holds the UNMASKED dsampled window;
+            # multiply by the per-site mask lane here instead of shipping a
+            # separate 40-80 MB dsm tensor through HBM
+            mask_c = offs_c[:, :, 18 + k]
+            ds_flat = (
+                dsm_buf[a3 * sub:(a3 + 1) * sub, :, k * C:(k + 1) * C]
+                * mask_c[..., None].astype(dsm_buf.dtype)
+            ).reshape(n_samp, C)
             acc[:] = acc[:] + jax.lax.dot_general(
                 m.astype(ds_flat.dtype), ds_flat,
                 (((0,), (0,)), ((), ())),
@@ -397,18 +457,26 @@ def _grad_kernel(offs_hbm, dsm_hbm, out_ref, dsm_buf, offs_buf, acc, sem,
     out_ref[0] = acc[:].reshape(GRAD_IR, gc, C).astype(out_ref.dtype)
 
 
-def dcn_input_grad(dsm, offset18, H, W, *, stride=2, padding=1, max_offset=5,
-                   interpret=False):
-    """K3: dX (B, H, W, C) from mask-folded dsampled (B, Ho, Wo, 9*C).
+def dcn_input_grad(dsampled, offset18, mask9, H, W, *, stride=2, padding=1,
+                   max_offset=5, interpret=False):
+    """K3: dX (B, H, W, C) from UNMASKED dsampled (B, Ho, Wo, 9*C); the
+    modulation mask is folded in-kernel (packed into lanes 18..26 of the
+    offsets operand) instead of shipping a materialized dsampled*mask
+    tensor through HBM (r5 glue cut).
 
     Full-width input-row blocks; all DMA'd sublane extents are padded to
-    multiples of 8 (Mosaic alignment): dsm/offsets in Wo, the dX output in W
-    (sliced back outside). Zero-padded sample rows contribute zeros."""
+    multiples of 8 (Mosaic alignment): dsampled/offsets in Wo, the dX
+    output in W (sliced back outside). Zero-padded sample rows contribute
+    zeros."""
+    dsm = dsampled
     B, Ho, Wo, C9 = dsm.shape
     C = C9 // 9
     if offset18.shape[2] != Wo:  # dsm arrives in the OC-padded Wo domain
         offset18 = jnp.pad(
             offset18, ((0, 0), (0, 0), (0, Wo - offset18.shape[2]), (0, 0)))
+    if mask9.shape[2] != Wo:
+        mask9 = jnp.pad(
+            mask9, ((0, 0), (0, 0), (0, Wo - mask9.shape[2]), (0, 0)))
     Wo8 = -(-Wo // 8) * 8
     # input-col blocks (the K3 FLOP lever — see patch_cols): n_cells shrinks
     # from GRAD_IR·W8 to GRAD_IR·GC and the output-col window from Wo8 to
@@ -420,8 +488,12 @@ def dcn_input_grad(dsm, offset18, H, W, *, stride=2, padding=1, max_offset=5,
         dsm = jnp.pad(dsm, ((0, 0), (0, 0), (0, Wo8 - Wo), (0, 0)))
         offset18 = jnp.pad(
             offset18, ((0, 0), (0, 0), (0, Wo8 - Wo), (0, 0)))
-    # lane dim of a DMA'd operand must be 128-aligned (Mosaic): 18 -> 128
-    offset18 = jnp.pad(offset18, ((0, 0), (0, 0), (0, 0), (0, 128 - 18)))
+        mask9 = jnp.pad(mask9, ((0, 0), (0, 0), (0, Wo8 - Wo), (0, 0)))
+    # lane dim of a DMA'd operand must be 128-aligned (Mosaic): pack
+    # offsets (18) + mask (9) + zero pad -> 128 lanes, ONE small f32 operand
+    offset18 = jnp.concatenate(
+        [offset18, mask9.astype(jnp.float32),
+         jnp.zeros(offset18.shape[:3] + (128 - 27,), jnp.float32)], axis=-1)
 
     rows = grad_rows(max_offset)
 
@@ -527,29 +599,18 @@ def _mdcn_bwd(stride, padding, max_offset, interpret, res, dy):
         preferred_element_type=jnp.float32,
     ).astype(sampled.dtype)
 
-    # dmask: sampled = mask * s_unmasked (mask = sigmoid > 0). The per-tap
-    # channel reduce runs as a block-selector MATMUL — reshaping the 75 MB
-    # (…, 9C) tensor to (…, 9, C) splits the LANE dim and XLA relayouts it
-    # (measured: the two reshapes here put 16 ms/step of copies back)
-    # product in COMPUTE dtype (bf16), f32 accumulation in the selector
-    # matmul: the old f32 upcast materialized two 75 MB casts + an f32
-    # product per encoder (CLAUDE.md upcast trap; r5 profile: the dcn glue
-    # class ran 22.9 ms @81 GB/s). One bf16 rounding on the elementwise
-    # product — the same resolution every other gradient in the bf16 graph
-    # carries; the 9C->9 reduce still accumulates f32.
-    sel = jnp.repeat(jnp.eye(9, dtype=dsampled.dtype), ci, axis=0)  # (9C, 9)
-    prod = jnp.einsum(
-        "bhwK,Kt->bhwt",
-        dsampled * sampled.astype(dsampled.dtype), sel,
-        preferred_element_type=jnp.float32)[:, :, :Wo]
-    dmask = (prod / jnp.maximum(mask9, 1e-6)).reshape(mask.shape).astype(
-        mask.dtype)
-
-    # doffset via the fused K2 kernel (P = dsm @ patchT once per tap);
-    # the mask expands to lanes via repeat of the SMALL tensor (fuses)
-    dsm = dsampled * jnp.repeat(mask9p, ci, axis=-1).astype(dsampled.dtype)
-    g18 = dcn_offset_grad(x, offset18, dsm, stride=stride, padding=padding,
-                          max_offset=max_offset, interpret=interpret)
+    # r5 glue cut: dmask and the dsampled*mask fold both moved INSIDE the
+    # kernels. K2 builds P = dsampled @ patchT per tap from the UNMASKED
+    # dsampled and reduces it three ways (dh, dw, w one-hots): the w-mode
+    # reduce IS dmask_k = <dsampled_k, s_unmasked_k> (exact — no eps
+    # division), and the mask scalar multiplies the reduced offset grads.
+    # K3 multiplies the mask lane in-kernel. This removes the caller-side
+    # selector matmul over two 9C-lane tensors AND the 40-80 MB dsm
+    # materialization + its two reads (r5 profile: 22.9 ms @81 GB/s glue).
+    g18, dm9 = dcn_offset_grad(
+        x, offset18, dsampled, mask9p, stride=stride, padding=padding,
+        max_offset=max_offset, interpret=interpret)
+    dmask = dm9[:, :, :Wo].reshape(mask.shape).astype(mask.dtype)
     # clamp pass-through: zero gradient where |Δ| exceeded the window
     in_win = (jnp.abs(offset18) <= max_offset).astype(jnp.float32)
     doffset = (
@@ -557,8 +618,9 @@ def _mdcn_bwd(stride, padding, max_offset, interpret, res, dy):
         .reshape(offset.shape).astype(offset.dtype)
     )
 
-    dx = dcn_input_grad(dsm, offset18, x.shape[1], x.shape[2], stride=stride,
-                        padding=padding, max_offset=max_offset,
+    dx = dcn_input_grad(dsampled, offset18, mask9, x.shape[1], x.shape[2],
+                        stride=stride, padding=padding,
+                        max_offset=max_offset,
                         interpret=interpret).astype(x.dtype)
     return dx, doffset, dmask, dweight
 
