@@ -212,7 +212,11 @@ def main():
     # per-iteration boundary copies (~13-20 ms/step in the r3 trace) that the
     # production host loop never pays; unrolling removes the while op at the
     # cost of a k-times-larger (cached) compile.
-    unroll_k = scan_k if os.environ.get("BENCH_UNROLL", "0") == "1" else 1
+    # BENCH_UNROLL=1 -> full unroll (r5: killed the remote compile helper,
+    # compiler OOM); BENCH_UNROLL=k>1 -> partial unroll factor k (halves the
+    # boundary-copy count at 2 for a 2x, not 4x, program)
+    _u = os.environ.get("BENCH_UNROLL", "0")
+    unroll_k = scan_k if _u == "1" else max(1, min(scan_k, int(_u)))
     if scan_k > 1:
         # Force per-iteration recompute of every batch-dependent subgraph:
         # with the production (masked) optimizer the frozen teacher's params

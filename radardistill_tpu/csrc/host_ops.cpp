@@ -259,11 +259,14 @@ void as_build_tap(const int32_t* out_uids, int cap_out,
 // at f32 rounding). Returns the true unique-pillar count (pre-capping).
 int32_t pillar_sort_encode(const float* points, const uint8_t* mask, int n,
                            int f, float x0, float y0, float vx, float vy,
-                           int nx, int ny, int capacity, float* pts_s,
-                           uint8_t* mask_s, int32_t* ids_s, int32_t* slot,
-                           int32_t* uids, float* mean_s) {
+                           int nx, int ny, int capacity, int packed,
+                           float* pts_s, uint8_t* mask_s, int32_t* ids_s,
+                           int32_t* slot, int32_t* uids, float* mean_s) {
   const int32_t sent = nx * ny;
-  std::vector<int32_t> ids(n);
+  // `packed`: sort by the space-to-depth parent-major key (id VALUES stay
+  // linear) — voxelize.packed_key twin; the S2D entry densify then needs no
+  // packed-index transpose on device.
+  std::vector<int32_t> ids(n), keys(n);
   for (int i = 0; i < n; ++i) {
     const float px = points[(size_t)i * f];
     const float py = points[(size_t)i * f + 1];
@@ -271,8 +274,12 @@ int32_t pillar_sort_encode(const float* points, const uint8_t* mask, int n,
     const int32_t cy = (int32_t)std::floor((py - y0) / vy);
     const bool ok = mask[i] && cx >= 0 && cx < nx && cy >= 0 && cy < ny;
     ids[i] = ok ? cy * nx + cx : sent;
+    keys[i] = (ok && packed)
+                  ? ((((cy >> 1) * (nx >> 1) + (cx >> 1)) << 2) +
+                     ((cy & 1) << 1) + (cx & 1))
+                  : ids[i];
   }
-  // stable LSD radix sort of indices by id (11-bit digits; ids <= nx*ny
+  // stable LSD radix sort of indices by key (11-bit digits; keys <= nx*ny
   // fit 3 passes up to 8G cells — far beyond any BEV grid)
   std::vector<int32_t> ord(n), tmp(n);
   for (int i = 0; i < n; ++i) ord[i] = i;
@@ -283,7 +290,7 @@ int32_t pillar_sort_encode(const float* points, const uint8_t* mask, int n,
   for (int p = 0; p < passes; ++p) {
     const int sh = p * BITS;
     std::fill(cnt.begin(), cnt.end(), 0);
-    for (int i = 0; i < n; ++i) ++cnt[(ids[ord[i]] >> sh) & (BUCKETS - 1)];
+    for (int i = 0; i < n; ++i) ++cnt[(keys[ord[i]] >> sh) & (BUCKETS - 1)];
     int32_t run = 0;
     for (int b = 0; b < BUCKETS; ++b) {
       const int32_t c = cnt[b];
@@ -292,7 +299,7 @@ int32_t pillar_sort_encode(const float* points, const uint8_t* mask, int n,
     }
     for (int i = 0; i < n; ++i) {
       const int32_t o = ord[i];
-      tmp[cnt[(ids[o] >> sh) & (BUCKETS - 1)]++] = o;
+      tmp[cnt[(keys[o] >> sh) & (BUCKETS - 1)]++] = o;
     }
     std::swap(ord, tmp);
   }

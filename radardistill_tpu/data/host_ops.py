@@ -48,7 +48,7 @@ def _load():
         lib.pillar_sort_encode.argtypes = [
             f32p, u8p, ctypes.c_int, ctypes.c_int,
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             f32p, u8p, i32p, i32p, i32p, f32p,
         ]
         lib.pillar_sort_encode.restype = ctypes.c_int
@@ -99,12 +99,14 @@ def nms_bev(boxes: np.ndarray, scores: np.ndarray, thresh: float) -> np.ndarray:
 
 
 def pillar_sort_encode(points: np.ndarray, mask: np.ndarray, pc_range,
-                       voxel_size, grid_size, capacity: int):
+                       voxel_size, grid_size, capacity: int,
+                       packed: bool = False):
     """Per-sample pillar encode (stable sort by pillar id + compact table).
     Returns (pts_sorted, mask_sorted, ids_sorted, slot, uids, count, mean)
     — same semantics as the device path (models/vfe.encode_table front
     half); ``mean`` (n, 3) is the per-point cluster mean (the host twin of
-    models/vfe._slot_mean, equal at f32 resolution)."""
+    models/vfe._slot_mean, equal at f32 resolution). ``packed``: sort by
+    the space-to-depth packed key (vfe packed_order twin)."""
     lib = _load()
     n, f = points.shape
     nx, ny = int(grid_size[0]), int(grid_size[1])
@@ -120,7 +122,8 @@ def pillar_sort_encode(points: np.ndarray, mask: np.ndarray, pc_range,
         pts, msk, n, f,
         float(pc_range[0]), float(pc_range[1]),
         float(voxel_size[0]), float(voxel_size[1]),
-        nx, ny, capacity, pts_s, mask_s, ids_s, slot, uids, mean_s,
+        nx, ny, capacity, int(packed), pts_s, mask_s, ids_s, slot, uids,
+        mean_s,
     )
     return pts_s, mask_s.astype(bool), ids_s, slot, uids, int(count), mean_s
 

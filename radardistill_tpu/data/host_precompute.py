@@ -35,7 +35,8 @@ from . import host_ops
 
 
 def pillar_encode(points: np.ndarray, mask: np.ndarray, pc_range, voxel_size,
-                  grid_size: Tuple[int, int], capacity: int):
+                  grid_size: Tuple[int, int], capacity: int,
+                  packed: bool = False):
     """Sort points by pillar id + compact-unique into a fixed-cap table.
 
     Bit-identical to the device path (ops/voxelize.compute_pillar_coords +
@@ -53,7 +54,7 @@ def pillar_encode(points: np.ndarray, mask: np.ndarray, pc_range, voxel_size,
     b = points.shape[0]
     outs = [
         host_ops.pillar_sort_encode(points[i], mask[i], pc_range, voxel_size,
-                                    grid_size, capacity)
+                                    grid_size, capacity, packed)
         for i in range(b)
     ]
     pts_s = np.stack([o[0] for o in outs])
@@ -69,7 +70,8 @@ def pillar_encode(points: np.ndarray, mask: np.ndarray, pc_range, voxel_size,
 
 
 def pillar_encode_np(points: np.ndarray, mask: np.ndarray, pc_range, voxel_size,
-                     grid_size: Tuple[int, int], capacity: int):
+                     grid_size: Tuple[int, int], capacity: int,
+                     packed: bool = False):
     """Numpy twin of :func:`pillar_encode` (test oracle)."""
     b, n, _ = points.shape
     nx, ny = int(grid_size[0]), int(grid_size[1])
@@ -84,7 +86,14 @@ def pillar_encode_np(points: np.ndarray, mask: np.ndarray, pc_range, voxel_size,
     valid = mask & in_range
     ids = np.where(valid, coords[..., 1] * nx + coords[..., 0], sent).astype(np.int32)
 
-    order = np.argsort(ids, axis=-1, kind="stable")
+    if packed:
+        y, x = ids // nx, ids % nx
+        key = ((((y >> 1) * (nx >> 1) + (x >> 1)) << 2)
+               + ((y & 1) << 1) + (x & 1)).astype(np.int32)
+        key = np.where(ids >= sent, ids, key)
+    else:
+        key = ids
+    order = np.argsort(key, axis=-1, kind="stable")
     ids_s = np.take_along_axis(ids, order, -1)
     pts_s = np.take_along_axis(points, order[..., None], 1)
     mask_s = np.take_along_axis(mask, order, -1)
@@ -238,6 +247,8 @@ class HostPrecompute:
         elif _is_table_s2d(bk):
             self.lidar_cap = int(bk.get("TABLE_CAPACITY", 163840))
             self.lidar_s2dt = True
+            # must match the model wiring (detector.py PACKED_TABLE default)
+            self.lidar_packed = bool(bk.get("PACKED_TABLE", True))
 
         self.radar_cap: Optional[int] = None
         self.radar_as: Optional[dict] = None
@@ -269,6 +280,7 @@ class HostPrecompute:
             pts, msk, pre = pillar_encode(
                 batch["points"], batch["points_mask"], self.pc_range,
                 self.voxel_size, self.grid_size, self.lidar_cap,
+                packed=getattr(self, "lidar_packed", False),
             )
             batch["points"], batch["points_mask"] = pts, msk
             batch["hp_lidar"] = self._drop_ids(

@@ -511,6 +511,10 @@ class PillarRes18BackBone8xS2D(nn.Module):
     # profile: 141 ms/step at bs4 for the plain-layout gather)
     table_input: bool = False
     hw: Any = None              # static (H, W), required when table_input
+    # packed-order table input (vfe packed_order=True must match): the entry
+    # inverse map + mask are built directly in the packed layout — see the
+    # packed branch below and ops/active_site.densify_packed_direct_batch
+    packed_table: bool = False
 
     @nn.compact
     def __call__(self, bev, mask, train: bool, hp_masks=None) -> Dict[str, jnp.ndarray]:
@@ -533,56 +537,66 @@ class PillarRes18BackBone8xS2D(nn.Module):
             m2h = m3h = m4h = None  # pack branch keeps its own mask path
         q = self.int8
         qs = self.int8_static and not train
-        if self.table_input:
+        if self.table_input and self.packed_table:
+            from ..ops import active_site as asx
+
+            table, uids = bev, mask  # (B, cap, C), (B, cap) PACKED-order
+            # packed-order table (vfe packed_order=True): the inverse site
+            # map scatters directly at packed addresses and the gather lands
+            # in the (h2, w2, 4, C) layout — no index transpose, and the
+            # mask is born packed (no pack_mask transpose). The unpacked
+            # (B, H, W) mask is reconstructed ONLY for consumers that still
+            # need it (mask-pyramid fallback / pack_stage2 bookkeeping).
+            if qs:
+                from .layers import q8
+
+                # quantize the COMPACT table then densify int8 (exact:
+                # gather(q8(t)) == q8(gather(t)); zero-padding-rows
+                # invariant as in the non-packed branch below)
+                bnd0 = jnp.maximum(
+                    jnp.max(jnp.abs(table)).astype(jnp.float32), 1e-6)
+                table = q8(table.astype(jnp.float32), bnd0)
+            x, mask_pb = asx.densify_packed_direct_batch(table, uids, self.hw)
+            if qs:
+                x = (x, bnd0, 0.0)
+            mask_p = mask_pb.astype(jnp.float32)
+            if m2h is None or self.pack_stage2:
+                # reconstruct the original-resolution mask only when a
+                # consumer actually needs it (no host pyramid / pack branch)
+                mask = depth_to_space(mask_p, 1)[..., 0] > 0
+            else:
+                mask = None
+        elif self.table_input:
+            # (An ENTRY_EXPAND Pallas-expand A/B variant lived here in r5;
+            # deleted unmeasured — packed_table above removes the transpose
+            # it was built to avoid, so the A/B question is moot.)
             from ..ops import active_site as asx
 
             table, uids = bev, mask  # (B, cap, C), (B, cap)
-            import os as _os
+            if qs:
+                from .layers import q8
 
-            if _os.environ.get("ENTRY_EXPAND", "0") == "1":
-                # A/B (r5): entry via the Pallas one-hot-matmul expand on
-                # the MONOTONE unpacked order (ops/pallas_expand — already
-                # the radar AS dense handoff) + a standalone s2d transpose,
-                # instead of the packed XLA row-gather that runs at
-                # ~48 GB/s (r5 profile: 7.6 ms) plus the 3.2 ms packed-inv
-                # transpose. bf16 through the expand (the int8 table would
-                # need int32 MXU accum + 128-lane int8 slices the kernel
-                # doesn't do), q8 AFTER packing when the int8 chain is on —
-                # identical math, the bound is the same table abs-max.
-                dense, mask = asx.densify_batch(table, uids, self.hw)
-                mask_p = pack_mask(mask)
-                x = space_to_depth(dense)
-                if qs:
-                    from .layers import q8
-
-                    bnd0 = jnp.maximum(
-                        jnp.max(jnp.abs(table)).astype(jnp.float32), 1e-6)
-                    x = (q8(x.astype(jnp.float32), bnd0), bnd0, 0.0)
-            else:
-                if qs:
-                    from .layers import q8
-
-                    # quantize the COMPACT table, then densify int8: the
-                    # entry expansion gather moves 4x fewer bytes (66 vs
-                    # 265 MB at 1440², PERF.md r4: this gather ran at
-                    # 80 GB/s), and the dense-grid q8 pass disappears.
-                    # Exact: q8 is elementwise with a static-per-step
-                    # scalar bound and q8(0) = 0 (symmetric), so
-                    # gather(q8(t)) == q8(gather(t)).
-                    # INVARIANT (advisor r4): bound equality with the
-                    # dense-side abs-max additionally requires unused
-                    # compact rows to be exactly zero — guaranteed today by
-                    # PFNLayerV2Sparse's -inf max-scatter + isneginf->0
-                    # fill. A table producer with nonzero padding rows
-                    # would silently inflate this bound.
-                    bnd0 = jnp.maximum(
-                        jnp.max(jnp.abs(table)).astype(jnp.float32), 1e-6)
-                    table = q8(table.astype(jnp.float32), bnd0)
-                x, mask = asx.densify_packed_batch(table, uids, self.hw)
-                if qs:
-                    x = (x, bnd0, 0.0)
-                mask_p = pack_mask(mask)
-                # inactive cells gather the zero sentinel row: already masked
+                # quantize the COMPACT table, then densify int8: the
+                # entry expansion gather moves 4x fewer bytes (66 vs
+                # 265 MB at 1440², PERF.md r4: this gather ran at
+                # 80 GB/s), and the dense-grid q8 pass disappears.
+                # Exact: q8 is elementwise with a static-per-step
+                # scalar bound and q8(0) = 0 (symmetric), so
+                # gather(q8(t)) == q8(gather(t)).
+                # INVARIANT (advisor r4): bound equality with the
+                # dense-side abs-max additionally requires unused
+                # compact rows to be exactly zero — guaranteed today by
+                # PFNLayerV2Sparse's -inf max-scatter + isneginf->0
+                # fill. A table producer with nonzero padding rows
+                # would silently inflate this bound.
+                bnd0 = jnp.maximum(
+                    jnp.max(jnp.abs(table)).astype(jnp.float32), 1e-6)
+                table = q8(table.astype(jnp.float32), bnd0)
+            x, mask = asx.densify_packed_batch(table, uids, self.hw)
+            if qs:
+                x = (x, bnd0, 0.0)
+            mask_p = pack_mask(mask)
+            # inactive cells gather the zero sentinel row: already masked
         else:
             mask_p = pack_mask(mask)
             x = space_to_depth(bev)

@@ -183,7 +183,9 @@ class PillarNet(nn.Module):
                 return DynamicPillarVFESparse(capacity=_as_caps(bk_sub)[0], **kwargs)
             if bk_sub is not None and _is_table_s2d(bk_sub) and cls is DynamicPillarVFESimple2D:
                 return DynamicPillarVFESparse(
-                    capacity=int(bk_sub.get("TABLE_CAPACITY", 163840)), **kwargs
+                    capacity=int(bk_sub.get("TABLE_CAPACITY", 163840)),
+                    packed_order=bool(bk_sub.get("PACKED_TABLE", True)),
+                    **kwargs
                 )
             return cls(**kwargs)
 
@@ -231,6 +233,7 @@ class PillarNet(nn.Module):
                 nx, ny = self.grid_size
                 kwargs["table_input"] = True
                 kwargs["hw"] = (ny, nx)
+                kwargs["packed_table"] = bool(sub.get("PACKED_TABLE", True))
             if cls is PillarRes18BackBone8xAS:
                 nx, ny = self.grid_size
                 kwargs = dict(

@@ -79,6 +79,12 @@ class DynamicPillarVFESimple2D(nn.Module):
     use_relative_xyz: bool = True
     dtype: object = None  # scatter-grid dtype (see PFNLayerV2); raw point
                           # coordinates are consumed in their input precision
+    packed_order: bool = False  # sort the pillar table by the space-to-depth
+                          # PACKED key (voxelize.packed_key; id VALUES stay
+                          # linear) so the S2D entry densify needs no index
+                          # transpose. Per-pillar math is order-invariant;
+                          # only the table ROW ORDER (and, on overflow,
+                          # which pillars are dropped) changes.
 
     def _f_center(self, points, ids):
         vx, vy, vz = self.voxel_size[:3]
@@ -206,7 +212,9 @@ class DynamicPillarVFESimple2D(nn.Module):
             valid = point_mask & in_range
             ids = voxelize.pillar_ids(coords, valid, self.grid_size)
 
-            order = jnp.argsort(ids, axis=-1)
+            key = (voxelize.packed_key(ids, self.grid_size)
+                   if self.packed_order else ids)
+            order = jnp.argsort(key, axis=-1)
             ids = jnp.take_along_axis(ids, order, axis=-1)
             points = jnp.take_along_axis(points, order[..., None], axis=1)
             valid = jnp.take_along_axis(valid, order, axis=-1)

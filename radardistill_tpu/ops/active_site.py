@@ -551,6 +551,77 @@ def densify_packed_batch(feats, uids, hw: Tuple[int, int]):
     return rows.reshape(b, h // 2, w // 2, 4 * c), mask
 
 
+def packed_addr(uids, h, w):
+    """Space-to-depth flat address of linear site ids (voxelize.packed_key
+    twin at the (h, w) grid): parent-major, phase = (y%2)*2 + x%2. The
+    sentinel h*w maps to itself (drops out of scatters)."""
+    y = uids // w
+    x = uids - y * w
+    addr = (((y >> 1) * (w >> 1) + (x >> 1)) << 2) + ((y & 1) << 1) + (x & 1)
+    return jnp.where(uids >= h * w, h * w, addr)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _densify_packed_direct_rows_b(feats, uids, hw):
+    """Packed densify for PACKED-ORDER tables (uids sorted by packed_addr,
+    id values still linear — vfe.encode_table packed_order=True).
+
+    The inverse site map is scattered DIRECTLY at packed addresses (monotone
+    under the packed sort, so the scatter keeps its sorted hint) and the row
+    gather lands straight in the (h2, w2, 4, C) layout: no 16.6 MB (H, W)
+    index transpose and no pack_mask transpose downstream (r5 profile:
+    ~5 ms/step of relayouts around the entry densify at 1440²)."""
+    h, w = hw
+    b, cap, c = feats.shape
+    feats_z = jnp.concatenate(
+        [feats, jnp.zeros((b, 1, c), feats.dtype)], axis=1
+    ).reshape(b * (cap + 1), c)
+    addr = packed_addr(uids, h, w)  # (B, cap) monotone rows
+    inv = jax.vmap(
+        lambda a: jnp.full((h * w,), cap, jnp.int32).at[a].set(
+            jnp.arange(cap, dtype=jnp.int32), mode="drop",
+            indices_are_sorted=True)
+    )(addr)  # (B, h*w) in PACKED-flat order
+    flat_idx = inv + jnp.arange(b, dtype=inv.dtype)[:, None] * (cap + 1)
+    rows = feats_z.at[flat_idx.reshape(-1)].get(mode="clip").reshape(
+        b, h // 2, w // 2, 4, c
+    )
+    return rows, (inv < cap).reshape(b, h // 2, w // 2, 4)
+
+
+def _densify_packed_direct_rows_b_fwd(feats, uids, hw):
+    return _densify_packed_direct_rows_b(feats, uids, hw), uids
+
+
+def _densify_packed_direct_rows_b_bwd(hw, uids, grads):
+    g_packed, _ = grads  # (B, h2, w2, 4, C)
+    h, w = hw
+    b, cap = uids.shape
+    c = g_packed.shape[-1]
+    valid = uids < h * w
+    addr = jnp.clip(packed_addr(uids, h, w), 0, h * w - 1)
+    flat = addr + jnp.arange(b, dtype=addr.dtype)[:, None] * (h * w)
+    # monotone: addr is sorted per sample (packed-order table), clip keeps
+    # the trailing sentinel run at h*w-1, batch offsets are increasing
+    g = g_packed.reshape(b * h * w, c).at[flat.reshape(-1)].get(
+        mode="clip", indices_are_sorted=True
+    ).reshape(b, cap, c)
+    return g * valid[..., None].astype(g.dtype), None
+
+
+_densify_packed_direct_rows_b.defvjp(
+    _densify_packed_direct_rows_b_fwd, _densify_packed_direct_rows_b_bwd)
+
+
+def densify_packed_direct_batch(feats, uids, hw: Tuple[int, int]):
+    """PACKED-ORDER (B, cap, C) tables -> (B, H/2, W/2, 4*C) packed dense +
+    (B, H/2, W/2, 4) packed mask (phase-major — pack_mask layout)."""
+    h, w = hw
+    b, _, c = feats.shape
+    rows, mask_p = _densify_packed_direct_rows_b(feats, uids, hw)
+    return rows.reshape(b, h // 2, w // 2, 4 * c), mask_p
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _densify_packed_rows(feats, uids, hw):
     """(cap, C) table -> (H/2, W/2, 4, C) space-to-depth-packed dense grid.

@@ -58,6 +58,27 @@ def pillar_ids(coords_xy, valid, grid_size):
     return jnp.where(valid, ids, nx * ny)
 
 
+def packed_key(ids, grid_size):
+    """Space-to-depth sort key for linear pillar ids: parent-major order
+    ``((y//2)*(nx//2) + x//2)*4 + (y%2)*2 + x%2`` (the exact lane order of
+    backbone_s2d.space_to_depth). A bijection on [0, nx*ny); the sentinel
+    nx*ny maps to itself (still sorts after every valid key).
+
+    Sorting the LIDAR pillar table by this key (id VALUES stay linear) makes
+    the S2D entry's inverse site map a directly-packed monotone scatter —
+    no (H,W)->(H/2,W/2,4) transpose of the 16.6 MB index grid and no
+    pack_mask transpose (r5 profile: 3.2 + ~1.8 ms/step of relayouts around
+    the entry densify). Requires even nx.
+    """
+    nx, ny = grid_size
+    assert nx % 2 == 0, nx
+    sent = nx * ny
+    y = ids // nx
+    x = ids - y * nx
+    key = (((y >> 1) * (nx >> 1) + (x >> 1)) << 2) + ((y & 1) << 1) + (x & 1)
+    return jnp.where(ids >= sent, ids, key)
+
+
 def scatter_max_bev(feats, ids, grid_size):
     """Per-sample scatter-max into the dense grid.
 

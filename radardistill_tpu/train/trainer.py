@@ -133,11 +133,17 @@ def train_model(
                 # (tools/train_utils/train_utils.py:73-124) — the
                 # instantaneous val is what the production-cert tooling
                 # parses (the avg includes the first compile step)
+                sat = ""
+                if "dcn_offset_sat" in m:
+                    # DCN clamp telemetry in the console log too (the cert
+                    # run is how the R decision gets its data — VERDICT r4
+                    # #4; tb alone needs an event-file parse)
+                    sat = f" dcn_sat {float(m['dcn_offset_sat']):.2e}"
                 logger.info(
                     f"epoch {epoch}/{total_epochs} it {p_i}/{spe} "
                     f"loss {loss:.4f} lr {lr:.3e} "
                     f"t_iter {p_it:.3f}({it_meter.avg:.3f})s "
-                    f"t_data {p_data:.3f}({data_meter.avg:.3f})s"
+                    f"t_data {p_data:.3f}({data_meter.avg:.3f})s{sat}"
                 )
             if tb_writer is not None:
                 tb_writer.add_scalar("train/loss", loss, gstep)

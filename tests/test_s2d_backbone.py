@@ -187,41 +187,3 @@ def test_s2d_table_input_matches_dense_input():
             np.asarray(out_tq[k]), np.asarray(out_dq[k]), err_msg=k)
 
 
-def test_s2d_entry_expand_matches_packed(monkeypatch):
-    """ENTRY_EXPAND=1 (Pallas expand + standalone s2d transpose + post-pack
-    q8) must equal the default packed-gather entry on shared params — both
-    float and int8_static chains."""
-    import numpy as np
-    from radardistill_tpu.models.vfe import DynamicPillarVFESparse
-
-    h = 32
-    rng = np.random.RandomState(6)
-    pts = np.zeros((2, 300, 5), np.float32)
-    pts[..., :3] = rng.uniform(-50, 50, (2, 300, 3))
-    pts[..., 3:] = rng.uniform(0, 1, (2, 300, 2))
-    mask_pts = jnp.asarray(rng.rand(2, 300) > 0.1)
-    pts = jnp.asarray(pts)
-
-    vfe = DynamicPillarVFESparse(
-        capacity=512, num_filters=(32,), voxel_size=(108.0 / h, 108.0 / h, 8.0),
-        point_cloud_range=(-54.0, -54.0, -5.0, 54.0, 54.0, 3.0),
-        grid_size=(h, h),
-    )
-    vvars = vfe.init(jax.random.PRNGKey(0), pts, mask_pts, False)
-    table, uids, _ = vfe.apply(vvars, pts, mask_pts, False)
-
-    for int8s in (False, True):
-        bb = PillarRes18BackBone8xS2D(int8_static=int8s, table_input=True,
-                                      hw=(h, h))
-        variables = bb.init(jax.random.PRNGKey(1), table, uids, False)
-        monkeypatch.delenv("ENTRY_EXPAND", raising=False)
-        out0 = bb.apply(variables, table, uids, False, mutable=["batch_stats"])[0]
-        monkeypatch.setenv("ENTRY_EXPAND", "1")
-        out1 = bb.apply(variables, table, uids, False, mutable=["batch_stats"])[0]
-        monkeypatch.delenv("ENTRY_EXPAND")
-        for k in ("x_conv3", "x_conv4", "x_conv5"):
-            np.testing.assert_array_equal(
-                np.asarray(out0[k]), np.asarray(out1[k]),
-                err_msg=f"{k} int8={int8s}")
-        np.testing.assert_array_equal(
-            np.asarray(out0["mask4"]), np.asarray(out1["mask4"]))
