@@ -32,18 +32,6 @@ BN_EPS_BACKBONE, BN_MOM_BACKBONE = 1e-3, 0.01
 BN_EPS_DEFAULT, BN_MOM_DEFAULT = 1e-5, 0.1
 
 
-def _wide_conv_on() -> int:
-    """Trace-time gate for the wide-N Pallas conv path (WIDE_CONV env,
-    default off pending hardware A/B). 0 = off; 1 = 128-multiple channels
-    only; 2 = also route C=64 3x3 convs through the W-PAIRED kernel layout
-    (ops/pallas_wide_conv._wpair). Numerics: same conv at the operands'
-    dtype resolution (tests/test_wide_conv.py); A/B knob like HEAD_MERGED."""
-    import os
-
-    v = os.environ.get("WIDE_CONV", "0")
-    return int(v) if v.isdigit() else (1 if v else 0)
-
-
 def kaiming_normal_torch(key, shape, dtype=jnp.float32):
     """torch.nn.init.kaiming_normal_ (fan_in of the conv: in_ch*kh*kw) for
     HWIO kernels."""
@@ -230,30 +218,14 @@ class Conv2dTorch(nn.Module):
             return int8_conv(
                 x, kern, self.stride, ((p, p), (p, p)), bias,
                 out_dtype=self.dtype or x.dtype)
-        wc = _wide_conv_on()
-        if (wc and k == 3 and self.stride == 1 and p == 1
-                and self.groups == 1 and x.ndim == 4 and x.shape[1] >= 3
-                and (
-                    (x.shape[-1] % 128 == 0 and self.features % 128 == 0)
-                    or (wc >= 2 and (2 * x.shape[-1]) % 128 == 0
-                        and (2 * self.features) % 128 == 0
-                        and x.shape[2] % 2 == 0)
-                )):
-            # lane-walled 3x3 convs (Ci, Co 128-multiples; WIDE_CONV=2 also
-            # C=64 via the free W-paired reshape): same param tree ('conv'
-            # scope, HWIO kernel — checkpoints interchange), but the
-            # conv runs as ky-stacked N=3*Co Pallas dots at the wide-N MXU
-            # rate (ops/pallas_wide_conv.py; WIDE_CONV=0 reverts to nn.Conv)
-            from ..ops.pallas_wide_conv import conv3x3_wide
-
-            kern, bias = _ConvParams(
-                (k, k, x.shape[-1], self.features), self.features,
-                self.use_bias, self.kernel_init, name="conv")()
-            xw, kern = nn.dtypes.promote_dtype(x, kern, dtype=self.dtype)
-            y = conv3x3_wide(xw, kern)
-            if bias is not None:
-                y = y + nn.dtypes.promote_dtype(bias, dtype=self.dtype)[0]
-            return y
+        # (The WIDE_CONV=1/2 Pallas wide-N conv route dispatched here until
+        # r5. BOTH variants lost on hardware in driver-identical benches:
+        # WIDE_CONV=1 −27% (r4 autopsy: kernel pipelining + global layout
+        # collateral), WIDE_CONV=2 W-paired 10.105 → 7.136 samples/s (−29%,
+        # r5) — the route's wiring is deleted per the no-unproven-gated-
+        # paths rule; the kernels + exactness tests remain as tombstones in
+        # ops/pallas_wide_conv.py / tests/test_wide_conv.py /
+        # tests/test_wpair.py.)
         return nn.Conv(
             self.features,
             (k, k),

@@ -115,54 +115,3 @@ def test_wpair_matches_s2d():
     k = _rand(jax.random.PRNGKey(9), (3, 3, 16, 8), jnp.float32)
     np.testing.assert_array_equal(np.asarray(_wpair(k)),
                                   np.asarray(wpair_kernel(k)))
-
-
-def test_conv2dtorch_dispatch_paired(monkeypatch):
-    """WIDE_CONV=2 routes C=64 Conv2dTorch calls through the W-paired
-    kernel with an identical param tree and matching forward; WIDE_CONV=1
-    leaves them on nn.Conv."""
-    from radardistill_tpu.models.layers import Conv2dTorch
-
-    x = _rand(jax.random.PRNGKey(4), (1, 8, 8, 64), jnp.float32)
-    m = Conv2dTorch(64, 3, 1, 1, use_bias=True)
-    monkeypatch.setenv("WIDE_CONV", "0")
-    v0 = m.init(jax.random.PRNGKey(1), x)
-    y0 = m.apply(v0, x)
-    monkeypatch.setenv("WIDE_CONV", "2")
-    v2 = m.init(jax.random.PRNGKey(1), x)
-    assert jax.tree.structure(v0) == jax.tree.structure(v2)
-    assert all(a.shape == b.shape for a, b in
-               zip(jax.tree.leaves(v0), jax.tree.leaves(v2)))
-    np.testing.assert_allclose(np.asarray(m.apply(v0, x)), np.asarray(y0),
-                               rtol=2e-5, atol=2e-5)
-
-
-def test_conv2dtorch_dispatch(monkeypatch):
-    """WIDE_CONV=1 routes eligible Conv2dTorch calls through the kernel with
-    an IDENTICAL param tree and matching forward."""
-    from flax.core import freeze
-    from radardistill_tpu.models.layers import Conv2dTorch
-
-    monkeypatch.setenv("WIDE_CONV", "0")
-    x = _rand(jax.random.PRNGKey(0), (1, 8, 8, 128), jnp.float32)
-    m = Conv2dTorch(128, 3, 1, 1, use_bias=True)
-    v0 = m.init(jax.random.PRNGKey(1), x)
-    y0 = m.apply(v0, x)
-
-    monkeypatch.setenv("WIDE_CONV", "1")
-    v1 = m.init(jax.random.PRNGKey(1), x)
-    assert jax.tree.structure(v0) == jax.tree.structure(v1)
-    assert all(a.shape == b.shape for a, b in
-               zip(jax.tree.leaves(v0), jax.tree.leaves(v1)))
-    y1 = m.apply(v0, x)
-    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
-                               rtol=2e-5, atol=2e-5)
-
-    # ineligible shapes (C=64) stay on nn.Conv under the flag
-    x64 = _rand(jax.random.PRNGKey(2), (1, 8, 8, 64), jnp.float32)
-    m64 = Conv2dTorch(64, 3, 1, 1)
-    v64 = m64.init(jax.random.PRNGKey(3), x64)
-    monkeypatch.setenv("WIDE_CONV", "0")
-    np.testing.assert_array_equal(
-        np.asarray(m64.apply(v64, x64)),
-        np.asarray(m64.apply(freeze(v64), x64)))
