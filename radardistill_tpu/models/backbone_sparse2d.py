@@ -219,51 +219,14 @@ class SparseBasicBlock(nn.Module):
             gt2, sh2, _ = bn2(xs, mask, False, affine=True)
             return fp_block_conv(y, k2, b2, gt2, sh2, mc, res=x,
                                  keep_pad=True)
-        import os as _os
-
-        if (not train and not self.int8 and x.ndim == 4
-                and self.features % 128 != 0
-                and (2 * self.features) % 128 == 0
-                and x.shape[2] % 2 == 0 and x.shape[-1] == self.features
-                and _os.environ.get("S2_WPAIR", "0") == "1"):
-            # frozen-eval W-PAIRED XLA formulation (r5 A/B): the C=64
-            # stage-2 blocks at 720² pay ~3.7 ms/block of layout copies +
-            # spatial pads around each conv custom-call (r5c trace: copy
-            # 2.79 + pad 0.87 of an 8.6 ms block). (B,H,W,64) ->
-            # (B,H,W/2,128) is a FREE contiguous reshape; the paired
-            # kernel (wpair_kernel, exactness tested) makes the conv
-            # lane-native at 2x structural-zero FLOPs (trivial: the conv
-            # MACs are ~0.2 ms at peak). Plain XLA convs — NOT the Pallas
-            # fp links that lost in r4 (kernel pipelining collateral).
-            from .backbone_s2d import wpair_kernel
-
-            dt = self.dtype or x.dtype
-            f = self.features
-            b_, h_, w_, _ = x.shape
-            k1, b1 = conv1(x, raw=True)
-            gt1, sh1, _ = bn1(x, mask, False, affine=True)
-            k2, b2 = conv2(x, raw=True)
-            gt2, sh2, _ = bn2(x, mask, False, affine=True)
-
-            def two(v):
-                return jnp.concatenate([v, v]).astype(dt)
-
-            xw = x.astype(dt).reshape(b_, h_, w_ // 2, 2 * f)
-            # paired lane index = (w%2)*C + c: phase-major blocks, matching
-            # wpair_kernel and the two() duplication of per-channel vectors
-            mw = jnp.repeat(
-                mask.reshape(b_, h_, w_ // 2, 2), f, axis=-1).astype(dt)
-
-            def link(z, k, bias, gt, sh):
-                y = jax.lax.conv_general_dilated(
-                    z, wpair_kernel(k.astype(dt)), (1, 1), ((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                return (y + two(bias)) * two(gt) + two(sh)
-
-            y = nn.relu(link(xw, k1, b1, gt1, sh1)) * mw
-            y = nn.relu(link(y, k2, b2, gt2, sh2) + xw) * mw
-            return y.reshape(b_, h_, w_, f)
-
+        # (An S2_WPAIR frozen-eval W-paired XLA formulation of this block
+        # lived here briefly in r5: plain XLA convs on the free
+        # (B,H,W/2,128) reshape with wpair_kernel, targeting the 3.7 ms of
+        # copies+pads around each C=64 conv custom-call. Hardware A/B:
+        # 10.131 vs 10.105/10.011 baseline -- a WASH (the paired conv's 2x
+        # structural-FLOPs + its own layouts cost what the copies did).
+        # Deleted per the no-unproven-gated-paths rule; wpair_kernel + the
+        # conv-equivalence test remain with the fp-chain tombstone.)
         m = mask[..., None].astype(x.dtype)
         y = conv1(x)
         y = bn1(y, mask, train)

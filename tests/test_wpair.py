@@ -62,27 +62,3 @@ def test_sparse_basic_block_wpair_matches_plain():
                                rtol=2e-4, atol=2e-4)
     # masked-out sites are exact zeros on both paths
     assert float(jnp.abs(y_fused * (1 - mask[..., None])).max()) == 0.0
-
-
-def test_sparse_basic_block_xla_wpair_matches_plain(monkeypatch):
-    """S2_WPAIR=1 (frozen-eval W-paired XLA formulation, r5) must match the
-    plain masked-dense eval forward on the same params."""
-    B, H, W, C = 1, 8, 16, 64
-    kx, km = jax.random.split(jax.random.PRNGKey(3))
-    x = jax.random.normal(kx, (B, H, W, C), jnp.float32)
-    mask = (jax.random.uniform(km, (B, H, W)) > 0.4).astype(jnp.float32)
-    x = x * mask[..., None]
-
-    blk = SparseBasicBlock(C)
-    v = blk.init(jax.random.PRNGKey(4), x, mask, False)
-    bs = jax.tree.map(
-        lambda a: a + 0.3 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape)
-        / a.size, v["batch_stats"])
-    v = {"params": v["params"], "batch_stats": bs}
-
-    monkeypatch.delenv("S2_WPAIR", raising=False)
-    y_ref = blk.apply(v, x, mask, False)
-    monkeypatch.setenv("S2_WPAIR", "1")
-    y_wp = blk.apply(v, x, mask, False)
-    np.testing.assert_allclose(np.asarray(y_wp), np.asarray(y_ref),
-                               rtol=2e-5, atol=2e-5)
